@@ -1,0 +1,118 @@
+package graft.detect
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.models.{LangId, LangIdModel, NGramLM, NGramLMModel}
+import graft.rules.HeuristicRules
+import graft.scrub.Scrub
+
+/** Per-row invalidity scoring (M5–M7): one narrow, partition-parallel
+  * `withColumns` pass adding per-rule score columns (the reference's
+  * per-feature scores, /root/reference/backendClasses/Autoencoder.py:42-58),
+  * a combined record score = max over rules (M7,
+  * DQTestToolHelper.py:153-157), the scrubbed caption, and — after the
+  * threshold pass — the keep/drop decision.
+  *
+  * Model state (langid weights, LM count tables, ppl reference quantile)
+  * is fit once per run and broadcast; scoring never leaves the executors.
+  */
+object Scorer {
+
+  final case class Models(
+      langId: Broadcast[LangIdModel],
+      lm: Broadcast[NGramLMModel],
+      pplRef: Double, // global median per-char perplexity (fallback)
+      pplRefByLang: Map[String, Double]) // per-predicted-lang medians
+
+  /** Fit the constraint models: langid trained driver-side on the
+    * deterministic corpus; LM fit distributed on the full caption corpus
+    * (DQTestToolHelper.py:130 trains on the whole table). Perplexity
+    * reference quantiles are discovered *per predicted language* in one
+    * grouped `percentile_approx` pass — a mergeable sketch, scale-safe
+    * under the skewed language mix (the per-lang analog of the
+    * reference's per-feature normalization, Autoencoder.py:42-58). */
+  def fit(spark: SparkSession, images: DataFrame): Models = {
+    import spark.implicits._
+    val langId = spark.sparkContext.broadcast(LangId.train())
+    val lm = spark.sparkContext.broadcast(
+      NGramLM.fit(spark, images.select(col("caption")).as[String]))
+    val qUdf = udf((s: String) =>
+      (lm.value.perplexity(s), langId.value.bestLang(s)._1))
+    val perLang = images
+      .select(qUdf(col("caption")).as("q"))
+      .select(col("q._1").as("ppl"), col("q._2").as("lang"))
+      .groupBy("lang")
+      .agg(expr("percentile_approx(ppl, 0.5D, 10000)").as("p50"),
+        count(lit(1)).as("n"))
+      .collect()
+    val byLang = perLang.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val global = {
+      // weighted median approximation: global p50 from the dominant class
+      val totalN = perLang.map(_.getLong(2)).sum
+      val sorted = perLang.sortBy(_.getDouble(1))
+      var acc = 0L
+      var res = sorted.head.getDouble(1)
+      sorted.foreach { r => if (acc < totalN / 2) { res = r.getDouble(1); acc += r.getLong(2) } }
+      res
+    }
+    Models(langId, lm, global, byLang)
+  }
+
+  /** Heuristic (model-free) rule score columns, each in [0,1]. */
+  def ruleColumns: Seq[(String, Column)] = {
+    val cap = col("caption")
+    Seq(
+      "score_len" -> HeuristicRules.lengthScore(cap),
+      "score_symbol" -> HeuristicRules.symbolScore(cap),
+      "score_repetition" -> HeuristicRules.repetitionScore(cap),
+      "score_resolution" -> HeuristicRules.resolutionScore(col("w"), col("h")),
+      "score_aspect" -> HeuristicRules.aspectScore(col("w"), col("h")),
+      "score_pii" -> Scrub.piiScore(cap))
+  }
+
+  /** Add score_*, score_dup (via broadcast semi-join against the
+    * phash-duplicate drop set), invalidity_score (max over rules), and
+    * scrubbed_caption. Model scores evaluate one combined UDF per row
+    * (acceptedProb + perplexity + predicted lang) against broadcast
+    * state; everything else is built-in Catalyst expressions. */
+  def withScores(images: DataFrame, m: Models, dupDropIds: DataFrame): DataFrame = {
+    val langIdB = m.langId
+    val lmB = m.lm
+    val qUdf = udf((s: String) => {
+      val acc = langIdB.value.acceptedProb(s)
+      val lang = langIdB.value.bestLang(s)._1
+      val ppl = lmB.value.perplexity(s)
+      (acc, ppl, lang)
+    })
+    val refMap =
+      if (m.pplRefByLang.isEmpty) map()
+      else map(m.pplRefByLang.toSeq.sortBy(_._1)
+        .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
+    val rules = ruleColumns
+    val dup = broadcast(dupDropIds.withColumn("__is_dup", lit(1.0)))
+    val withQ = rules.foldLeft(images) { case (df, (name, c)) => df.withColumn(name, c) }
+      .withColumn("__q", qUdf(col("caption")))
+      .withColumn("__pplref",
+        coalesce(element_at(refMap, col("__q._3")), lit(m.pplRef)))
+      .withColumn("score_langid", least(lit(1.0), greatest(lit(0.0),
+        (lit(0.7) - col("__q._1")) / lit(0.4))))
+      .withColumn("score_ppl", least(lit(1.0), greatest(lit(0.0),
+        (col("__q._2") / col("__pplref") - lit(2.5)) / lit(2.0))))
+      .join(dup, Seq("image_id"), "left")
+      .withColumn("score_dup", coalesce(col("__is_dup"), lit(0.0)))
+      .drop("__is_dup", "__q", "__pplref")
+    val allNames = rules.map(_._1) ++ Seq("score_langid", "score_ppl", "score_dup")
+    withQ
+      .withColumn("invalidity_score", greatest(allNames.map(col): _*))
+      .withColumn("scores",
+        map(allNames.flatMap(n => Seq(lit(n), col(n))): _*))
+      .withColumn("scrubbed_caption", Scrub.scrub(col("caption")))
+  }
+
+  /** Keep/drop decision at a discovered threshold (>= drops — the
+    * engine's standardized semantics, SURVEY.md §4). */
+  def withDecision(scored: DataFrame, threshold: Double): DataFrame =
+    scored.withColumn("decision",
+      when(col("invalidity_score") >= threshold, "drop").otherwise("keep"))
+}

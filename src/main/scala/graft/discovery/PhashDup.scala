@@ -1,0 +1,95 @@
+package graft.discovery
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate discovery via perceptual-hash banding (north-rule
+  * addition; no reference counterpart — SURVEY.md §2.3).
+  *
+  * Guaranteed-recall scheme for Hamming distance ≤ `maxHamming`: split the
+  * 64-bit phash into `blocks` equal blocks; ≤ maxHamming flips can damage
+  * at most maxHamming blocks, so with blocks = maxHamming + 2 at least
+  * TWO blocks stay intact, and we can band on *pairs* of blocks —
+  * C(blocks, 2) keys of ~2·64/blocks bits each. Pair keys are much more
+  * selective than single blocks (the classic single-block pigeonhole
+  * scheme floods the shuffle with n²/2^(64/blocks) candidate pairs at
+  * web scale; pair keys square the selectivity), at the cost of
+  * C(blocks,2)/blocks more emitted rows — a shuffle-size vs
+  * candidate-count trade that favors pair keys from ~10^6 rows up.
+  *
+  * All candidate verification is `bit_count(xor)` — built-in, codegen'd.
+  */
+object PhashDup {
+
+  /** Candidate pairs verified at Hamming ≤ maxHamming.
+    * Input must have (idCol, phashCol); output (id1, id2, hamming) with
+    * id1 < id2, distinct. */
+  def duplicatePairs(
+      images: DataFrame,
+      idCol: String = "image_id",
+      phashCol: String = "phash",
+      maxHamming: Int = 4): DataFrame = {
+    val blocks = maxHamming + 2
+    val bits = 64 / blocks // block width (floor; last block takes the rest)
+    val blockExprs = (0 until blocks).map { i =>
+      val lo = i * bits
+      val width = if (i == blocks - 1) 64 - lo else bits
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col(phashCol), lo).bitwiseAND(lit(mask))
+    }
+    // all C(blocks,2) block-pair keys
+    val pairKeys = for {
+      i <- 0 until blocks
+      j <- (i + 1) until blocks
+    } yield struct(
+      lit(i * blocks + j).as("bk"),
+      blockExprs(i).as("v1"),
+      blockExprs(j).as("v2"))
+
+    val banded = images
+      .select(col(idCol).as("id"), col(phashCol).as("ph"),
+        explode(array(pairKeys: _*)).as("key"))
+      .select(col("id"), col("ph"),
+        col("key.bk").as("bk"), col("key.v1").as("v1"), col("key.v2").as("v2"))
+
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r,
+        col("l.bk") === col("r.bk") &&
+          col("l.v1") === col("r.v1") && col("l.v2") === col("r.v2") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        bit_count(col("l.ph").bitwiseXOR(col("r.ph"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Ids to drop: for every verified pair keep the smaller id
+    * (keep-first dedup). Returns a single-column frame `image_id`. */
+  def dropIds(images: DataFrame, idCol: String = "image_id",
+      phashCol: String = "phash", maxHamming: Int = 4): DataFrame =
+    duplicatePairs(images, idCol, phashCol, maxHamming)
+      .select(col("id2").as(idCol)).distinct()
+
+  /** Duplicate clusters via iterated min-label propagation over the pair
+    * graph (bounded iterations; our dup chains are 1–2 hops). Returns
+    * (image_id, cluster_id = min id in component). */
+  def clusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges.groupBy(col("id1").as("image_id"))
+      .agg(least(min(col("id2")), first(col("id1"))).as("cluster_id"))
+    var i = 1
+    while (i < iterations) {
+      labels = edges
+        .join(labels, edges("id2") === labels("image_id"), "inner")
+        .groupBy(edges("id1").as("image_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .join(labels.select(col("image_id"), col("cluster_id").as("own")),
+          Seq("image_id"))
+        .select(col("image_id"), least(col("cluster_id"), col("own")).as("cluster_id"))
+      i += 1
+    }
+    labels
+  }
+}

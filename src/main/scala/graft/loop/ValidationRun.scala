@@ -1,0 +1,178 @@
+package graft.loop
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.detect.Scorer
+import graft.discovery.{PhashDup, Thresholds}
+import graft.engine.TableIO
+import graft.eval.Metrics
+import graft.synth.{GenConfig, ImageGen}
+
+/** The iterative constraint-discovery / fault-detection / oracle-confirm
+  * loop — the Spark rebuild of the reference CLI harness
+  * (/root/reference/testScript.py:29-46) and the `validate` spine
+  * (DQTestToolHelper.py:59-240):
+  *
+  *   fit models → score every row → discover thresholds → suspicious
+  *   set → oracle confirms suspicious∩known as actual faults, rest
+  *   valid → metrics row → checkpoint → next round.
+  *
+  * Statuses live in an append-only audit table keyed by round (never
+  * per-row UPDATEs — the reference's O(n) UPDATE loop at
+  * DQTestToolHelper.py:161-162 becomes one columnar write per round).
+  * Each round checkpoints statuses + metrics + per-partition lineage;
+  * a re-run with the same outDir resumes after the last completed round
+  * (north-rule checkpointed resume).
+  */
+object ValidationRun {
+
+  final case class RunConfig(
+      n: Long = 2000L,
+      rounds: Int = 3,
+      seed: Long = 42L,
+      faultPct: Int = 5,
+      outDir: String = "target/graft-run",
+      parts: Int = 32,
+      withBytes: Boolean = false)
+
+  final case class RunResult(
+      decisions: DataFrame,
+      metrics: Seq[Metrics.RunMetrics],
+      thresholds: Seq[Double],
+      completedRounds: Int)
+
+  private def statusPath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/statuses/round=$r"
+  private def metricsPath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/metrics/round=$r"
+  private def lineagePath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/lineage/round=$r"
+
+  def run(spark: SparkSession, cfg: RunConfig): RunResult = {
+    import spark.implicits._
+    val gen = GenConfig(cfg.n, cfg.seed, cfg.faultPct, cfg.withBytes, cfg.parts)
+    val images = ImageGen.images(spark, gen).cache()
+    val known = ImageGen.knownFaults(spark, gen).select("image_id").cache()
+    val knownCount = known.count()
+
+    // Constraint models: one fit per run, broadcast (warm-start analog of
+    // DQTestToolHelper.py:109-111).
+    val models = Scorer.fit(spark, images)
+    val dupDrop = PhashDup.dropIds(images).cache()
+    val scored = Scorer.withScores(images, models, dupDrop)
+      .select(col("image_id"), col("invalidity_score"), col("scores"),
+        col("scrubbed_caption"))
+      .cache()
+
+    // Resume: last round whose status checkpoint completed.
+    val resumeFrom = (1 to cfg.rounds)
+      .takeWhile(r => TableIO.exists(spark, statusPath(cfg, r))).lastOption.getOrElse(0)
+    var statuses =
+      if (resumeFrom == 0)
+        images.select(col("image_id"), lit("clean").as("status"))
+      else TableIO.read(spark, statusPath(cfg, resumeFrom)).select("image_id", "status")
+
+    val metricsHist = scala.collection.mutable.ArrayBuffer.empty[Metrics.RunMetrics]
+    val thresholds = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Reload prior rounds' metrics so TPGR spans the full history on resume.
+    (1 to resumeFrom).foreach { r =>
+      if (TableIO.exists(spark, metricsPath(cfg, r)))
+        metricsHist ++= TableIO.read(spark, metricsPath(cfg, r))
+          .as[Metrics.RunMetrics].collect()
+    }
+
+    var lastThreshold = Double.NaN
+    for (r <- (resumeFrom + 1) to cfg.rounds) {
+      val st = scored.join(statuses, Seq("image_id"))
+      val (t, _) = Thresholds.discover(st, "invalidity_score", "status", knownCount)
+      lastThreshold = t
+      thresholds += t
+
+      val suspicious = st.filter(col("invalidity_score") >= t)
+        .select("image_id").cache()
+      val faultyRows = suspicious.count()
+
+      // Oracle auto-confirm (testScript.py:38-40): suspicious∩known →
+      // actualFaults_r, suspicious∖known → valid; confirmed faults frozen.
+      val confirmed = suspicious.join(broadcast(known), Seq("image_id"), "left_semi")
+      val rejected = suspicious.join(broadcast(known), Seq("image_id"), "left_anti")
+      val newStatuses = statuses
+        .join(confirmed.withColumn("__c", lit(1)), Seq("image_id"), "left")
+        .join(rejected.withColumn("__r", lit(1)), Seq("image_id"), "left")
+        .select(col("image_id"),
+          when(col("status").startsWith("actualFault"), col("status"))
+            .when(col("__c").isNotNull, lit(s"actualFaults_$r"))
+            .when(col("__r").isNotNull, lit("valid"))
+            .otherwise(col("status")).as("status"))
+
+      // Metrics (formula parity — Evaluation.py:6-30).
+      val afOld = statuses.filter(col("status").startsWith("actualFault"))
+        .select("image_id").cache()
+      val afNew = newStatuses.filter(col("status").startsWith("actualFault"))
+        .select("image_id").cache()
+      val afOldN = afOld.count()
+      val afNewN = afNew.count()
+      val eInterA = suspicious.join(broadcast(known), Seq("image_id"), "left_semi").count()
+      val aMinusE = faultyRows - eInterA
+      val eMinusA = knownCount - eInterA
+      val afMinusE = afNew.join(broadcast(known), Seq("image_id"), "left_anti").count()
+      val afOldMinusNew = afOld.join(afNew, Seq("image_id"), "left_anti").count()
+      val fnr = Metrics.falseNegativeRate(afOldMinusNew, afOldN)
+      val tpr = Metrics.truePositiveRate(afNewN, faultyRows)
+      val m = Metrics.RunMetrics(
+        run = r,
+        previouslyDetected = Metrics.previouslyDetected(knownCount, eInterA),
+        suspiciousDetected = Metrics.newlyDetected(faultyRows, aMinusE),
+        undetected = Metrics.undetected(knownCount, eMinusA),
+        newlyDetected = Metrics.newlyDetected(faultyRows, afMinusE),
+        truePositiveRate = tpr,
+        falsePositiveRate = 1.0 - tpr,
+        trueNegativeRate = 1.0 - fnr,
+        falseNegativeRate = fnr)
+      metricsHist += m
+
+      // Checkpoint: statuses, metrics row, per-partition lineage.
+      TableIO.createOrReplace(newStatuses, statusPath(cfg, r))
+      TableIO.createOrReplace(Seq(m).toDF(), metricsPath(cfg, r))
+      val lineage = scored
+        .withColumn("pid", spark_partition_id())
+        .groupBy(col("pid").as("partition_id"))
+        .agg(count(lit(1)).as("rows_in"),
+          sum(when(col("invalidity_score") >= t, 1L).otherwise(0L)).as("rows_dropped"))
+        .withColumn("rows_kept", col("rows_in") - col("rows_dropped"))
+        .withColumn("run_id", lit(r))
+        .withColumn("completed_at", current_timestamp())
+      TableIO.createOrReplace(lineage, lineagePath(cfg, r))
+
+      statuses = TableIO.read(spark, statusPath(cfg, r)).select("image_id", "status")
+      suspicious.unpersist(); afOld.unpersist(); afNew.unpersist()
+    }
+
+    if (lastThreshold.isNaN && thresholds.isEmpty) {
+      // Fully resumed run: recompute the final threshold for decisions.
+      val st = scored.join(statuses, Seq("image_id"))
+      lastThreshold = Thresholds.discover(st, "invalidity_score", "status", knownCount)._1
+    }
+
+    val decisions = Scorer.withDecision(
+      scored.join(statuses, Seq("image_id")), lastThreshold)
+      .select("image_id", "decision", "invalidity_score", "scores",
+        "scrubbed_caption", "status")
+    RunResult(decisions, metricsHist.toSeq, thresholds.toSeq,
+      cfg.rounds)
+  }
+
+  /** One-shot (no oracle loop) score → threshold → decide pass; the
+    * flagship entry query. */
+  def oneShot(spark: SparkSession, gen: GenConfig): DataFrame = {
+    val images = ImageGen.images(spark, gen)
+    val knownCount = ImageGen.knownFaults(spark, gen).count()
+    val models = Scorer.fit(spark, images)
+    val dupDrop = PhashDup.dropIds(images)
+    val scored = Scorer.withScores(images, models, dupDrop).cache()
+    val withStatus = scored.withColumn("status", lit("clean"))
+    val (t, _) = Thresholds.discover(withStatus, "invalidity_score", "status", knownCount)
+    Scorer.withDecision(scored, t)
+      .select("image_id", "decision", "invalidity_score", "scrubbed_caption")
+  }
+
+  def flagship(spark: SparkSession): DataFrame =
+    graft.PipelineCache.decisions(spark, 2000L)
+}

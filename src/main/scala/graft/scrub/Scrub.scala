@@ -1,0 +1,44 @@
+package graft.scrub
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII/toxicity scrubbing as a frozen, ordered chain of
+  * `regexp_replace` Catalyst expressions (UDF-free, codegen'd).
+  *
+  * The rule list and its order are versioned constants: exact
+  * scrubbed-caption equality is a correctness gate (BASELINE.md), so the
+  * chain must never be reordered silently — bump [[version]] on any
+  * change. Replacement tokens are chosen so no pattern can match a
+  * token, making the chain idempotent (property-tested).
+  *
+  * This operator has no reference counterpart (north-rule addition M16 in
+  * SURVEY.md §2.8); the reference's nearest analog is its regex status
+  * relabeling (/root/reference/backendClasses/DQTestToolHelper.py:96).
+  */
+object Scrub {
+  val version = 1
+
+  /** (name, pattern, replacement) — order is semantic and frozen. */
+  val rules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\+?\\d{1,2}[-. ]\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}|\\(\\d{3}\\)[-. ]?\\d{3}[-. ]\\d{4}|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("toxicity", "(?i)\\b(?:unclefucker|shitweasel|assclown)\\b", "<TOX>")
+  )
+
+  /** The scrub chain as one Column expression. */
+  def scrub(caption: Column): Column =
+    rules.foldLeft(caption) { case (c, (_, pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** 1.0 when the caption contains any PII/toxicity (scrub changed it). */
+  def piiScore(caption: Column): Column =
+    when(scrub(caption) =!= caption, lit(1.0)).otherwise(lit(0.0))
+
+  /** Driver-side scrub of a single string — same regexes, for tests and
+    * the generator's expected-value computation cross-check. */
+  def scrubString(s: String): String =
+    rules.foldLeft(s) { case (acc, (_, pat, rep)) => acc.replaceAll(pat, rep) }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.discovery.PhashDup
+import graft.synth.{GenConfig, ImageGen}
+
+class PhashDupSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("finds all injected near-duplicate pairs (guaranteed recall ≤ 4 flips)") {
+    val cfg = GenConfig(n = 2000L)
+    val images = ImageGen.images(spark, cfg)
+    val pairs = PhashDup.duplicatePairs(images).collect()
+    val expectedDups = (32L until cfg.n).flatMap { id =>
+      if (ImageGen.faultClass(cfg.seed, cfg.faultPct, id) == "near_duplicate")
+        Some(f"img${ImageGen.dupBaseId(cfg.seed, cfg.faultPct, id)}%09d" -> f"img$id%09d")
+      else None
+    }.toSet
+    val found = pairs.map(r => (r.getString(0), r.getString(1))).toSet
+    expectedDups.foreach { p => assert(found.contains(p), s"missed pair $p") }
+  }
+
+  test("dropIds drops only the larger id of each pair — never a clean base") {
+    val cfg = GenConfig(n = 2000L)
+    val images = ImageGen.images(spark, cfg)
+    val dropped = PhashDup.dropIds(images).as[String].collect().toSet
+    val faultyIds = (0L until cfg.n)
+      .filter(id => ImageGen.faultClass(cfg.seed, cfg.faultPct, id) != null)
+      .map(id => f"img$id%09d").toSet
+    // every dropped id must be an injected fault (no clean row dropped)
+    dropped.foreach(id => assert(faultyIds.contains(id), s"clean row dropped: $id"))
+  }
+
+  test("hamming filter: distances > 4 are excluded") {
+    val df = Seq(
+      ("a", 0L), ("b", 0x1FL /* hamming 5 from a */), ("c", 0x3L /* 2 from a */))
+      .toDF("image_id", "phash")
+    val pairs = PhashDup.duplicatePairs(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("a", "c")))
+    assert(!pairs.contains(("a", "b")))
+  }
+
+  test("clusters assign min-id label") {
+    val df = Seq(("a", 1L), ("b", 3L), ("c", 7L)).toDF("image_id", "phash")
+    val pairs = PhashDup.duplicatePairs(df)
+    val clusters = PhashDup.clusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters.values.toSet == Set("a"))
+  }
+}
