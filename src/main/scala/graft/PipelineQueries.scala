@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.detect.Scorer
 import graft.discovery.PhashDup
+import graft.engine.Tables
 import graft.loop.ValidationRun
 import graft.synth.{GenConfig, ImageGen}
 
@@ -16,6 +17,10 @@ object PipelineCache {
     cache.getOrElseUpdate(key, mk).asInstanceOf[T]
 
   def genCfg(n: Long): GenConfig = GenConfig(n = n)
+
+  /** Per-rule score column names in the scored frame. */
+  val scoreNames: Seq[String] =
+    Scorer.ruleColumns.map(_._1) ++ Seq("score_langid", "score_ppl", "score_dup")
 
   def images(spark: SparkSession, n: Long): DataFrame =
     cached(s"images/$n") { ImageGen.images(spark, genCfg(n)).cache() }
@@ -103,6 +108,99 @@ object PipelineQueries {
       val res = PipelineLoop.cachedLoop(s)
       import s.implicits._
       res.metrics.toDF().orderBy("run")
+    }),
+
+    // Dedup: MinHash+LSH near-dup pairs on the synthetic captions
+    // (near_duplicate rows share their base row's caption)
+    "qf_dedup_minhash" -> ((s, _) =>
+      graft.ops.Dedup.minhashPairs(
+        PipelineCache.images(s, N), "image_id", "caption")
+        .orderBy("id1", "id2")),
+
+    // Dedup: SimHash fingerprint + Hamming banding
+    "qf_dedup_simhash" -> ((s, _) =>
+      graft.ops.Dedup.simhashPairs(
+        PipelineCache.images(s, N), "image_id", "caption")
+        .orderBy("id1", "id2")),
+
+    // Dedup: n-gram Jaccard verification over shingle-band candidates
+    "qf_dedup_ngram" -> ((s, _) =>
+      graft.ops.Dedup.ngramJaccardPairs(
+        PipelineCache.images(s, N), "image_id", "caption")
+        .orderBy("id1", "id2")),
+
+    // Dedup: embedding-cosine near-dup via hyperplane-LSH buckets
+    "qf_dedup_embedding" -> ((s, _) => {
+      val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L)
+      graft.ops.Similarity.cosineNearDupPairs(emb, dim = 32)
+        .orderBy("id1", "id2")
+    }),
+
+    // Similarity: brute-force cosine top-k on the driver embeddings table
+    "qf_ann_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.ops.Similarity.bruteForceTopK(emb, queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Similarity: LSH-bucketed ANN (the 10^12-scale path) + its recall
+    // against the brute-force baseline
+    "qf_ann_lsh_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 5)
+        .select("query_id", "vec_id")
+      val lsh = graft.ops.Similarity.lshTopK(emb, queries, 5, dim = 64)
+        .select("query_id", "vec_id")
+      brute.join(lsh, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("hits_of_5"))
+        .orderBy("query_id")
+    }),
+
+    // Multimodal: real ImageIO decode + channel-mean feature extraction
+    "qf_image_features" -> ((s, _) => {
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(200L).copy(withBytes = true))
+      graft.ops.Multimodal.imageFeatures(imgs).toDF()
+        .orderBy("image_id")
+    }),
+
+    // Multimodal: real resize (Graphics2D) + re-encode
+    "qf_image_resize" -> ((s, _) => {
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(100L).copy(withBytes = true))
+      graft.ops.Multimodal.resizeImages(imgs, 8, 8).toDF()
+        .select(col("image_id"), length(col("bytes")).as("n_bytes"), col("w"), col("h"))
+        .orderBy("image_id")
+    }),
+
+    // Multimodal: frame-sampling plumbing (stubbed codec — see Multimodal)
+    "qf_video_frames" -> ((s, _) => {
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(50L).copy(withBytes = true))
+      graft.ops.Multimodal.videoFrameSample(imgs, "image_id", "bytes").toDF()
+        .select(col("id"), col("frame_idx"), length(col("frame")).as("n_bytes"))
+        .orderBy("id", "frame_idx")
+    }),
+
+    // Multimodal: windowed-RMS plumbing (stubbed codec)
+    "qf_audio_rms" -> ((s, _) => {
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(50L).copy(withBytes = true))
+      graft.ops.Multimodal.audioFeatures(imgs, "image_id", "bytes").toDF()
+        .select(col("id"), col("n_windows"))
+        .orderBy("id")
+    }),
+
+    // M9–M13: cluster the faulty rows + per-cluster decision-tree rules
+    "qf_cluster_rules" -> ((s, _) => {
+      val scored = PipelineCache.scored(s, N).withColumn("status", lit("clean"))
+      val knownCount = ImageGen.knownFaults(s, PipelineCache.genCfg(N)).count()
+      val (t, med) = graft.discovery.Thresholds.discover(
+        scored, "invalidity_score", "status", knownCount)
+      graft.explain.ClusterExplainer.explain(
+        scored, PipelineCache.scoreNames, t, med)
+        .orderBy("cluster_id", "rule")
     })
   )
 

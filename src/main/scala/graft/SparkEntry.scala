@@ -221,6 +221,40 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), graft.scrub.Scrub.scrub(col("text")).as("scrubbed"))
         .orderBy("doc_id")
+    }),
+
+    // Text analysis: heuristic langid via stopword votes (argmax w/ fixed
+    // tie-break)
+    "q20_langid_heuristic" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.langIdHeuristic(col("text")).as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Text analysis: md5 document fingerprint (engine-stable dedup key)
+    "q21_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Text analysis: whitespace + BPE-ish pre-tokenizer token counts
+    "q22_token_counts" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_ws"),
+          graft.ops.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    }),
+
+    // Text analysis: composite quality score
+    "q23_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
     })
   )
 
@@ -335,6 +369,52 @@ object SparkEntry {
           s"REGEXP_REPLACE($acc, '$p', '$rep', 'g')"
       }
       s"SELECT doc_id, $chain AS scrubbed FROM documents ORDER BY doc_id"
-    }
+    },
+    "q20_langid_heuristic" ->
+      """WITH c AS (SELECT doc_id,
+        | LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|on|with)\b')) AS c_en,
+        | LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|une|de|qui|sur|avec)\b')) AS c_fr,
+        | LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|das|ein|von|mit|und)\b')) AS c_de,
+        | LEN(REGEXP_EXTRACT_ALL(text, '\b(el|una|de|que|en|con)\b')) AS c_es,
+        | LEN(REGEXP_EXTRACT_ALL(text, '\b(de|zai|shang|yige|zhaopian)\b')) AS c_zh
+        |FROM documents)
+        |SELECT doc_id, CASE
+        | WHEN GREATEST(c_en,c_fr,c_de,c_es,c_zh) = 0 THEN 'und'
+        | WHEN c_en = GREATEST(c_en,c_fr,c_de,c_es,c_zh) THEN 'en'
+        | WHEN c_fr = GREATEST(c_en,c_fr,c_de,c_es,c_zh) THEN 'fr'
+        | WHEN c_de = GREATEST(c_en,c_fr,c_de,c_es,c_zh) THEN 'de'
+        | WHEN c_es = GREATEST(c_en,c_fr,c_de,c_es,c_zh) THEN 'es'
+        | WHEN c_zh = GREATEST(c_en,c_fr,c_de,c_es,c_zh) THEN 'zh'
+        | ELSE 'und' END AS pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q21_fingerprint" ->
+      """SELECT doc_id,
+        | MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_token_counts" ->
+      """SELECT doc_id,
+        | LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\S+')) AS n_ws,
+        | LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\S+')) AS DOUBLE) AS toks,
+        |  GREATEST(
+        |   LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|on|with)\b')),
+        |   LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|une|de|qui|sur|avec)\b')),
+        |   LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|das|ein|von|mit|und)\b')),
+        |   LEN(REGEXP_EXTRACT_ALL(text, '\b(el|una|de|que|en|con)\b')),
+        |   LEN(REGEXP_EXTRACT_ALL(text, '\b(de|zai|shang|yige|zhaopian)\b'))) AS stopmax
+        | FROM documents)
+        |SELECT doc_id, ROUND(
+        |  (CASE WHEN LENGTH(text) >= 20 AND LENGTH(text) <= 2000 THEN 1.0 ELSE 0.0 END) * 0.25
+        |  + LEAST(1.0, CAST(stopmax AS DOUBLE) / GREATEST(toks, 1.0) * 4) * 0.25
+        |  + (CASE WHEN CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST(toks, 1.0) >= 2.5
+        |          AND CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST(toks, 1.0) <= 12.0
+        |     THEN 1.0 ELSE 0.0 END) * 0.25
+        |  + (1.0 - LEAST(1.0,
+        |      CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+        |       / GREATEST(LENGTH(text), 1) * 5)) * 0.25, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

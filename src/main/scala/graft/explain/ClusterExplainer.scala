@@ -1,0 +1,134 @@
+package graft.explain
+
+import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Fault clustering + rule interpretation (M9–M13): the Spark rebuild of
+  * the reference's SOM/k-means clustering
+  * (/root/reference/backendClasses/SOM.py:218-230, H2oKmeans.py:13-50)
+  * and decision-tree rule extraction
+  * (SklearnDecisionTree.py:36-106, DQTestToolHelper.py:303-324).
+  *
+  * Faulty rows are clustered on their per-rule score vectors with MLlib
+  * KMeans (deterministic seed); each cluster is explained by training a
+  * DecisionTreeClassifier on normal-vs-cluster labels (J4 union) and
+  * recursing the tree into human-readable rules. The reference's k-means
+  * grid quirk (picking *max* MSE, H2oKmeans.py:28) is deliberately NOT
+  * replicated (SURVEY.md §4).
+  */
+object ClusterExplainer {
+
+  /** Assign cluster ids to faulty rows by k-means over score columns.
+    * Returns (image_id, cluster_id). */
+  def clusterFaulty(
+      faulty: DataFrame,
+      scoreCols: Seq[String],
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = faulty.sparkSession
+    import spark.implicits._
+    val assembled = faulty.select(col("image_id"),
+      array(scoreCols.map(col): _*).as("arr"))
+      .map { r =>
+        (r.getString(0), Vectors.dense(r.getSeq[Double](1).toArray))
+      }.toDF("image_id", "features")
+    val n = assembled.count()
+    if (n == 0) return spark.emptyDataFrame
+      .withColumn("image_id", lit("")).withColumn("cluster_id", lit(0)).limit(0)
+    val kk = math.min(k.toLong, n).toInt
+    val model = new KMeans().setK(kk).setSeed(seed).setMaxIter(20)
+      .fit(assembled)
+    model.transform(assembled)
+      .select(col("image_id"), col("prediction").as("cluster_id"))
+  }
+
+  /** Faulty-attribute selection (M12): score columns whose cluster mean
+    * exceeds the 70th percentile of all cluster means
+    * (DQTestToolHelper.py:299-301). */
+  def faultyAttributes(clusterRows: DataFrame, scoreCols: Seq[String]): Seq[String] = {
+    val means = clusterRows.select(scoreCols.map(c => avg(col(c)).as(c)): _*).head()
+    val vals = scoreCols.indices.map(i => means.getDouble(i))
+    val sorted = vals.sorted
+    // numpy-style linear-interpolated percentile (np.percentile default)
+    val pos = 0.7 * (sorted.size - 1)
+    val lo = pos.toInt
+    val frac = pos - lo
+    val p70 =
+      if (lo + 1 < sorted.size) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    scoreCols.zip(vals).filter(_._2 > p70).map(_._1)
+  }
+
+  /** Train a tree on labeled (valid=0 / suspicious=1) rows and extract
+    * readable rules — treeToRules (SklearnDecisionTree.py:84-106). */
+  def treeRules(
+      labeled: DataFrame, // featureCols ++ label (0.0/1.0)
+      featureCols: Seq[String],
+      maxDepth: Int = 5,
+      seed: Long = 42L): Seq[String] = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val assembled = labeled.select(
+      array(featureCols.map(c => col(c).cast("double")): _*).as("arr"),
+      col("label").cast("double"))
+      .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
+      .toDF("features", "label")
+    val model: DecisionTreeClassificationModel = new DecisionTreeClassifier()
+      .setMaxDepth(maxDepth).setSeed(seed).fit(assembled)
+    rulesFrom(model.rootNode, featureCols, Nil)
+  }
+
+  /** Recurse MLlib tree nodes → "IF cond AND cond THEN valid|invalid"
+    * strings (driver-side, like the reference's treeToCode — pure
+    * interpretation, no data-plane cost). */
+  private def rulesFrom(node: Node, names: Seq[String], path: List[String]): Seq[String] =
+    node match {
+      case leaf: LeafNode =>
+        val verdict = if (leaf.prediction >= 0.5) "invalid" else "valid"
+        val cond = if (path.isEmpty) "always" else path.reverse.mkString(" AND ")
+        Seq(s"IF $cond THEN $verdict")
+      case in: InternalNode =>
+        val (lCond, rCond) = in.split match {
+          case cs: ContinuousSplit =>
+            val f = names(cs.featureIndex)
+            (f"$f <= ${cs.threshold}%.4f", f"$f > ${cs.threshold}%.4f")
+          case cs: CategoricalSplit =>
+            val f = names(cs.featureIndex)
+            (s"$f in ${cs.leftCategories.mkString("{", ",", "}")}",
+              s"$f not in ${cs.leftCategories.mkString("{", ",", "}")}")
+        }
+        rulesFrom(in.leftChild, names, lCond :: path) ++
+          rulesFrom(in.rightChild, names, rCond :: path)
+    }
+
+  /** Full interpretation pass: cluster the faulty rows, then per cluster
+    * train normal-vs-cluster trees and emit (cluster_id, rule). */
+  def explain(
+      scored: DataFrame, // needs image_id, invalidity_score, score_* cols
+      scoreCols: Seq[String],
+      faultyThreshold: Double,
+      normalThreshold: Double,
+      k: Int = 4): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val faulty = scored.filter(col("invalidity_score") >= faultyThreshold).cache()
+    val normal = scored.filter(col("invalidity_score") <= normalThreshold)
+      .limit(2000).cache() // bounded sample for tree training
+    val clusters = clusterFaulty(faulty, scoreCols, k).cache()
+    val rules = clusters.select("cluster_id").distinct().as[Int].collect().sorted
+      .flatMap { cid =>
+        val clusterRows = faulty.join(
+          clusters.filter(col("cluster_id") === cid), Seq("image_id"), "left_semi")
+        val labeled = normal.select((scoreCols.map(col) :+ lit(0.0).as("label")): _*)
+          .unionByName(
+            clusterRows.select((scoreCols.map(col) :+ lit(1.0).as("label")): _*))
+        treeRules(labeled, scoreCols).map(r => (cid, r))
+      }
+    faulty.unpersist(); normal.unpersist(); clusters.unpersist()
+    spark.createDataset(rules.toSeq).toDF("cluster_id", "rule")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.synth.ImageGen
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (array<float>) — a training-data-pipeline addition with no
+  * reference counterpart.
+  *
+  * Cosine is UDF-free (`zip_with` + `aggregate`, codegen'd). Baseline is
+  * brute-force top-k against a broadcast query set; the scale path is
+  * random-hyperplane LSH bucketing (signature equi-join, multi-probe via
+  * 1-bit flips) so the join fans out on short keys instead of n×q rows.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: crossJoin against the (small, broadcast)
+    * query set, per-query window top-k with deterministic tie-break. */
+  def bruteForceTopK(
+      embeddings: DataFrame, // (vec_id, embedding)
+      queries: DataFrame, // (query_id, qvec)
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    embeddings.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** Deterministic random hyperplanes (seeded splitmix gaussian-ish). */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 7L): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        // sum of 4 uniforms − 2: cheap, deterministic, near-gaussian
+        val r = new ImageGen.Rng(seed, p.toLong * 100003L + d, 31L)
+        r.nextDouble() + r.nextDouble() + r.nextDouble() + r.nextDouble() - 2.0
+      }
+    }
+
+  def signatureOf(vec: Array[Float], planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes.length) {
+      var s = 0.0
+      val pl = planes(p)
+      var d = 0
+      val n = math.min(pl.length, vec.length)
+      while (d < n) { s += pl(d) * vec(d); d += 1 }
+      if (s > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  private def sigUdf(planes: Array[Array[Double]]) =
+    udf((v: Array[Float]) => if (v == null) 0 else signatureOf(v, planes))
+
+  /** LSH-bucketed top-k: signature equi-join with multi-probe (query
+    * probes its bucket plus all 1-bit-flip neighbors), then exact cosine
+    * within candidates. Recall < 1 by construction; nPlanes and probing
+    * set the recall/cost point. */
+  def lshTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 12): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val sig = sigUdf(planes)
+    val emb = embeddings.withColumn("sig", sig(col("embedding")))
+    val probes = queries
+      .withColumn("qsig", sig(col("qvec")))
+      .withColumn("sig", explode(transform(
+        sequence(lit(0), lit(nPlanes)), // 0 = exact bucket, i>0 = flip bit i-1
+        i => when(i === 0, col("qsig"))
+          .otherwise(col("qsig").bitwiseXOR(
+            pow(lit(2.0), (i - 1).cast("double")).cast("int"))))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(probes), Seq("sig"))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: LSH bucket self-join + exact cosine
+    * verify ≥ threshold. */
+  def cosineNearDupPairs(
+      embeddings: DataFrame, // (vec_id, embedding)
+      dim: Int,
+      threshold: Double = 0.97,
+      nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val sig = sigUdf(planes)
+    val emb = embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("sig", sig(col("v")))
+    val l = emb.alias("l")
+    val r = emb.alias("r")
+    l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        cosine(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic synthetic embeddings with seeded near-duplicate pairs
+    * (cluster centers + noise; every 20th vector is a jittered copy of
+    * an earlier one) — fixture for the near-dup operator. */
+  def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, 8).map { jid =>
+      val id: Long = jid
+      val isDup = id % 20L == 19L && id >= 20L
+      val baseId = if (isDup) id - 19L else id
+      val center = (baseId % 8L).toInt
+      val rc = new ImageGen.Rng(seed, center.toLong, 41L)
+      val base = Array.fill(dim)((rc.nextDouble() * 2 - 1).toFloat)
+      val rn = new ImageGen.Rng(seed, baseId, 42L)
+      val vec = base.map(v => v + (rn.nextDouble() * 0.2 - 0.1).toFloat)
+      val out = if (isDup) {
+        val rj = new ImageGen.Rng(seed, id, 43L)
+        vec.map(v => v + (rj.nextDouble() * 0.004 - 0.002).toFloat)
+      } else vec
+      (id, out)
+    }.toDF("vec_id", "embedding")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.explain.ClusterExplainer
+
+class ExplainSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("kmeans clustering separates distinct score signatures") {
+    // two obvious fault families: pure length faults vs pure symbol faults
+    val rows = (1 to 50).map(i => (f"a$i%03d", 1.0, 0.0)) ++
+      (1 to 50).map(i => (f"b$i%03d", 0.0, 1.0))
+    val df = rows.toDF("image_id", "score_len", "score_symbol")
+    val clustered = ClusterExplainer.clusterFaulty(df, Seq("score_len", "score_symbol"), 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val aClusters = clustered.filter(_._1.startsWith("a")).values.toSet
+    val bClusters = clustered.filter(_._1.startsWith("b")).values.toSet
+    assert(aClusters.size == 1 && bClusters.size == 1 && aClusters != bClusters)
+  }
+
+  test("tree rules name the discriminating attribute") {
+    val rows = (1 to 100).map(i => (0.02 * (i % 5), 0.01 * (i % 3), 0.0)) ++
+      (1 to 100).map(i => (0.9 + 0.002 * (i % 5), 0.01 * (i % 3), 1.0))
+    val df = rows.toDF("score_len", "score_symbol", "label")
+    val rules = ClusterExplainer.treeRules(df, Seq("score_len", "score_symbol"))
+    assert(rules.nonEmpty)
+    assert(rules.exists(r => r.contains("score_len") && r.endsWith("invalid")), rules.mkString("; "))
+    assert(!rules.exists(_.contains("score_symbol")), "irrelevant attribute used")
+  }
+
+  test("faulty attributes: cluster-mean > p70 of means (M12)") {
+    val df = (1 to 20).map(_ => (1.0, 0.0, 0.05)).toDF("a", "b", "c")
+    val attrs = ClusterExplainer.faultyAttributes(df, Seq("a", "b", "c"))
+    assert(attrs == Seq("a"))
+  }
+
+  test("end-to-end explain on the scored pipeline emits rules per cluster") {
+    val scored = PipelineCache.scored(spark, 2000L).withColumn("status", lit("clean"))
+    val knownCount = graft.synth.ImageGen.knownFaults(spark, PipelineCache.genCfg(2000L)).count()
+    val (t, med) = graft.discovery.Thresholds.discover(
+      scored, "invalidity_score", "status", knownCount)
+    val rules = ClusterExplainer.explain(scored, PipelineCache.scoreNames, t, med)
+    val collected = rules.collect()
+    assert(collected.nonEmpty)
+    assert(collected.map(_.getInt(0)).distinct.length >= 2, "expected >= 2 clusters")
+  }
+}

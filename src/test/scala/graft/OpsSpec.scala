@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.synth.{GenConfig, ImageGen}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  val cfg = GenConfig(n = 2000L)
+  lazy val images = ImageGen.images(spark, cfg).cache()
+
+  /** Seeded (base, dup) caption pairs from the generator. */
+  lazy val seededDupPairs: Set[(String, String)] =
+    (32L until cfg.n).flatMap { id =>
+      if (ImageGen.faultClass(cfg.seed, cfg.faultPct, id) == "near_duplicate")
+        Some(f"img${ImageGen.dupBaseId(cfg.seed, cfg.faultPct, id)}%09d" -> f"img$id%09d")
+      else None
+    }.toSet
+
+  test("minhash LSH finds all exact-copy caption pairs") {
+    val found = Dedup.minhashPairs(images, "image_id", "caption")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    seededDupPairs.foreach(p => assert(found.contains(p), s"missed $p"))
+    // every reported pair is genuinely similar (verified jaccard >= 0.8)
+    val verified = Dedup.minhashPairs(images, "image_id", "caption")
+      .agg(min("jaccard")).head().getDouble(0)
+    assert(verified >= 0.8)
+  }
+
+  test("simhash finds exact-copy caption pairs") {
+    val found = Dedup.simhashPairs(images, "image_id", "caption")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    seededDupPairs.foreach(p => assert(found.contains(p), s"missed $p"))
+  }
+
+  test("ngram jaccard pairs include seeded dups with jaccard 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(images, "image_id", "caption")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    seededDupPairs.foreach { p =>
+      assert(pairs.contains(p), s"missed $p")
+      assert(pairs(p) == 1.0)
+    }
+  }
+
+  test("exact dedup keeps min id per key") {
+    val df = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("id", "k")
+    val kept = Dedup.exactKeepFirst(df, "k", "id").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(kept == Map("a" -> 2L, "c" -> 1L))
+  }
+
+  test("embedding near-dup pairs: seeded jittered copies found") {
+    val emb = Similarity.synthEmbeddings(spark, 500L)
+    val pairs = Similarity.cosineNearDupPairs(emb, dim = 32, threshold = 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (20L until 500L).filter(i => i % 20L == 19L).map(i => (i - 19L, i))
+    val foundCount = expected.count(pairs.contains)
+    assert(foundCount >= (expected.size * 0.9).toInt,
+      s"found $foundCount of ${expected.size} seeded near-dups")
+  }
+
+  test("brute-force ANN: self is rank-1 neighbor, cosine descending") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = Similarity.bruteForceTopK(emb, queries, 5).collect()
+    assert(top.length == 15)
+    (0L until 3L).foreach { q =>
+      val rows = top.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      assert(rows.head.getLong(2) == q, "rank-1 must be the query itself")
+      assert(math.abs(rows.head.getDouble(3) - 1.0) < 1e-6)
+      val cosines = rows.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b - 1e-12 })
+    }
+  }
+
+  test("LSH ANN finds the self-neighbor and has decent recall") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val lsh = Similarity.lshTopK(emb, queries, 5, dim = 64).collect()
+    (0L until 3L).foreach { q =>
+      val rows = lsh.filter(_.getLong(0) == q)
+      assert(rows.nonEmpty)
+      assert(rows.minBy(_.getInt(1)).getLong(2) == q)
+    }
+  }
+
+  test("langid heuristic on clear samples") {
+    val df = Seq(
+      ("the photo of a dog and the cat", "en"),
+      ("le chien qui court sur la plage avec", "fr"),
+      ("der hund und die katze von haus mit", "de"),
+      ("el perro que corre en la playa con", "es")).toDF("text", "want")
+    val got = df.select(TextAnalysis.langIdHeuristic(col("text")).as("pred"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq("hello world, 42 times!").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.bpeishTokenCount(col("text"))).head()
+    assert(r.getInt(0) == 4) // hello | world, | 42 | times!
+    assert(r.getInt(1) == 6) // hello | world | , | 42 | times | !
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("a", "Hello   World"), ("b", "hello world"), ("c", "other")).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("multimodal: real decode extracts features from every synthetic image") {
+    val imgs = ImageGen.images(spark, cfg.copy(n = 60L, withBytes = true))
+    val feats = Multimodal.imageFeatures(imgs).collect()
+    assert(feats.length == 60)
+    feats.foreach { f =>
+      assert(f.decode_ok, s"${f.image_id} failed decode")
+      assert(f.width == 16 && f.height == 16)
+      assert(f.mean_r >= 0 && f.mean_r <= 255)
+    }
+  }
+
+  test("multimodal: corrupt bytes yield decode_ok=false, not task failure") {
+    val bad = Seq(("x", Array[Byte](1, 2, 3))).toDF("image_id", "bytes")
+    val feats = Multimodal.imageFeatures(bad).collect()
+    assert(feats.length == 1 && !feats.head.decode_ok)
+  }
+
+  test("multimodal: resize produces decodable 8x8 pngs") {
+    val imgs = ImageGen.images(spark, cfg.copy(n = 20L, withBytes = true))
+    val resized = Multimodal.resizeImages(imgs, 8, 8).collect()
+    assert(resized.length == 20)
+    resized.foreach { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+    }
+  }
+
+  test("multimodal: frame sampling takes every k-th fixed-size frame") {
+    val df = Seq(("v", Array.tabulate(1024)(_.toByte))).toDF("id", "bytes")
+    val frames = Multimodal.videoFrameSample(df, "id", "bytes", frameSize = 256, every = 2)
+      .collect()
+    assert(frames.map(_.frame_idx).sorted.sameElements(Array(0, 2)))
+    assert(frames.forall(_.frame.length == 256))
+  }
+}
