@@ -1,24 +1,128 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.detect.Scorer
+import graft.discovery.{PhashDup, Thresholds}
+import graft.synth.{GenConfig, ImageGen}
+
+/** Benchmark main. Prints exactly ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}
+  * plus flagship-pipeline throughput (images/sec) measured at TWO
+  * parallelism levels (local[N] vs local[4N] on identical input) and the
+  * resulting scaling efficiency — the sandbox evidence for the
+  * BASELINE.json two-cluster-size criterion.
+  *
+  * SPARK_GRAFT_CPUS sets the high level (default 32); low = max(1, N/4).
+  * SPARK_GRAFT_BENCH_IMAGES sets the synthetic pipeline row count.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // JVM case mapping for lower()/upper(): the ICU path pays a
+      // multi-minute CollationAwareUTF8String static init per JVM under
+      // thread contention (observed: 32 executor threads parked on the
+      // class-init monitor) — unacceptable startup tax at any scale.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      // Disable RPC-backed session-artifact classloader: janino codegen
+      // class-resolution misses otherwise round-trip the driver file
+      // server per identifier (observed 40s+ stage compiles).
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      // Shuffle scratch on tmpfs + single-file-per-mapper sort writer:
+      // the bypass-merge writer creates maps*reducers tiny files whose
+      // open/mmap latency on the virtio disk dominated small shuffles
+      // (observed 5s-41s variance on identical jobs).
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      .config("spark.file.transferTo", "false")
+      .config("spark.io.compression.codec", "lz4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full pipeline pass: fit models (constant driver+1 shuffle cost)
+    * then the partition-parallel score → dedup-join → threshold →
+    * decide phase. Returns (fitSec, scoreSec). */
+  private def pipelineOnce(spark: SparkSession, n: Long, cpus: Int): (Double, Double) = {
+    // Fixed partition count at BOTH parallelism levels: identical input
+    // layout, only the executor-thread count differs (the N vs 4N
+    // evidence must not be confounded by different splits).
+    val gen = GenConfig(n = n, parts = 128)
+    val images = ImageGen.images(spark, gen).cache()
+    images.count() // materialize generation outside the timed window
+    val known = ImageGen.knownFaults(spark, gen).select("image_id").count()
+
+    val t0 = System.nanoTime()
+    val models = Scorer.fit(spark, images)
+    val t1 = System.nanoTime()
+
+    val dupDrop = PhashDup.dropIds(images)
+    val scored = Scorer.withScores(images, models, dupDrop)
+      .select(col("image_id"), col("invalidity_score"), col("scrubbed_caption"))
+      .cache()
+    val withStatus = scored.withColumn("status", lit("clean"))
+    val (t, _) = Thresholds.discover(withStatus, "invalidity_score", "status", known)
+    Scorer.withDecision(scored, t).filter(col("decision") === "drop").count()
+    val t2 = System.nanoTime()
+
+    images.unpersist(blocking = true)
+    scored.unpersist(blocking = true)
+    ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Default scales with the CPU budget so the parallel fraction
+    // dominates fixed per-job latency at any level (≈31k rows/core).
+    val benchImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES",
+      (cpus * 31250L).toString).toLong
+    val lowCpus = math.max(1, cpus / 4)
+
+    // --- Phase 1: pipeline throughput, LOW parallelism first, with a
+    // fresh warmup pass per level so JIT/codegen warmup doesn't bias
+    // either side of the scaling-efficiency ratio -----------------------
+    val sparkLow = session(lowCpus)
+    pipelineOnce(sparkLow, math.min(benchImages / 10 + 1, 20000L), lowCpus) // warmup
+    val (fitLow, scoreLow) = pipelineOnce(sparkLow, benchImages, lowCpus)
+    sparkLow.stop()
+    PipelineCache.clear()
+
+    // --- Phase 2: same job, same input, HIGH parallelism --------------
+    val spark = session(cpus)
+    pipelineOnce(spark, math.min(benchImages / 10 + 1, 20000L), cpus) // warmup
+    val (fitHigh, scoreHigh) = pipelineOnce(spark, benchImages, cpus)
+
+    // --- Phase 3: per-query timings at local[cpus] ---------------------
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    val ipsHigh = benchImages / scoreHigh
+    val ipsLow = benchImages / scoreLow
+    val eff = (ipsHigh / ipsLow) / (cpus.toDouble / lowCpus)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""pipeline_images":$benchImages,""" +
+        s""""cpus_high":$cpus,"cpus_low":$lowCpus,""" +
+        s""""fit_sec_high":$fitHigh,"fit_sec_low":$fitLow,""" +
+        s""""score_sec_high":$scoreHigh,"score_sec_low":$scoreLow,""" +
+        s""""images_per_sec_high":$ipsHigh,"images_per_sec_low":$ipsLow,""" +
+        s""""scaling_efficiency":$eff}""")
   }
 }

@@ -16,6 +16,9 @@ object PipelineCache {
   private def cached[T <: AnyRef](key: String)(mk: => T): T =
     cache.getOrElseUpdate(key, mk).asInstanceOf[T]
 
+  /** Drop all cached frames/models (required between SparkSessions). */
+  def clear(): Unit = cache.clear()
+
   def genCfg(n: Long): GenConfig = GenConfig(n = n)
 
   /** Per-rule score column names in the scored frame. */

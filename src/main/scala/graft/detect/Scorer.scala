@@ -34,7 +34,7 @@ object Scorer {
     * reference's per-feature normalization, Autoencoder.py:42-58). */
   def fit(spark: SparkSession, images: DataFrame): Models = {
     import spark.implicits._
-    val langId = spark.sparkContext.broadcast(LangId.train())
+    val langId = spark.sparkContext.broadcast(LangId.pretrained)
     val lm = spark.sparkContext.broadcast(
       NGramLM.fit(spark, images.select(col("caption")).as[String]))
     val qUdf = udf((s: String) =>

@@ -52,15 +52,51 @@ object PhashDup {
       .select(col("id"), col("ph"),
         col("key.bk").as("bk"), col("key.v1").as("v1"), col("key.v2").as("v2"))
 
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    l.join(r,
-        col("l.bk") === col("r.bk") &&
-          col("l.v1") === col("r.v1") && col("l.v2") === col("r.v2") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        bit_count(col("l.ph").bitwiseXOR(col("r.ph"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    // ONE shuffle + sort: cluster the exploded rows by bucket key, then
+    // stream each partition pairing consecutive same-key runs in plain
+    // Scala. (collect_list object-aggregation falls back to its slow
+    // sort-based path once a partition sees >128 distinct keys — always,
+    // here, since most buckets are singletons; a self equi-join would
+    // shuffle the exploded frame twice. `maxBucket` caps degenerate
+    // buckets, e.g. constant phashes.)
+    val maxBucket = 4096
+    val spark = images.sparkSession
+    import spark.implicits._
+    banded
+      .repartition(col("bk"), col("v1"), col("v2"))
+      .sortWithinPartitions("bk", "v1", "v2")
+      .select(col("bk"), col("v1"), col("v2"), col("id"), col("ph"))
+      .as[(Int, Long, Long, String, Long)]
+      .mapPartitions { it =>
+        new Iterator[(String, String, Int)] {
+          private val out = scala.collection.mutable.Queue.empty[(String, String, Int)]
+          private val run = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          private var curKey: (Int, Long, Long) = _
+          private def emitPairsWith(id: String, ph: Long): Unit = {
+            var i = 0
+            while (i < run.length) {
+              val (oid, oph) = run(i)
+              val h = java.lang.Long.bitCount(ph ^ oph)
+              if (h <= maxHamming && oid != id) {
+                if (oid < id) out += ((oid, id, h)) else out += ((id, oid, h))
+              }
+              i += 1
+            }
+          }
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (bk, v1, v2, id, ph) = it.next()
+              val key = (bk, v1, v2)
+              if (key != curKey) { run.clear(); curKey = key }
+              emitPairsWith(id, ph)
+              if (run.length < maxBucket) run += ((id, ph))
+            }
+          }
+          def hasNext: Boolean = { advance(); out.nonEmpty }
+          def next(): (String, String, Int) = { advance(); out.dequeue() }
+        }
+      }
+      .toDF("id1", "id2", "hamming")
       .distinct()
   }
 

@@ -44,8 +44,17 @@ object Thresholds {
       scored: DataFrame,
       scoreCol: String,
       statusCol: String,
-      nKnownFaults: Long): (Double, Double) = {
-    val n = scored.count()
+      nKnownFaults: Long): (Double, Double) =
+    discover(scored, scoreCol, statusCol, nKnownFaults, scored.count())
+
+  /** Variant with the row count precomputed (the loop knows n once —
+    * saves one full-scan job per round). */
+  def discover(
+      scored: DataFrame,
+      scoreCol: String,
+      statusCol: String,
+      nKnownFaults: Long,
+      n: Long): (Double, Double) = {
     val pKnownFrac = if (n > 0) 1.0 - nKnownFaults.toDouble / n.toDouble else 1.0
     val percRow = scored.agg(
       expr(s"percentile($scoreCol, array(0.95D, $pKnownFrac, 0.5D))").as("ps"))

@@ -31,16 +31,22 @@ object ClusterExplainer {
       seed: Long = 42L): DataFrame = {
     val spark = faulty.sparkSession
     import spark.implicits._
+    // Tiny model-fit input: coalesce to one partition so the iterative
+    // MLlib jobs don't pay 32-task scheduling overhead per iteration.
+    // (The faulty set is a small fraction by construction; at true scale
+    // you'd sample it before clustering, as the reference clusters only
+    // the suspicious subset — DQTestToolHelper.py:251-256.)
     val assembled = faulty.select(col("image_id"),
       array(scoreCols.map(col): _*).as("arr"))
       .map { r =>
         (r.getString(0), Vectors.dense(r.getSeq[Double](1).toArray))
       }.toDF("image_id", "features")
+      .coalesce(1).cache()
     val n = assembled.count()
     if (n == 0) return spark.emptyDataFrame
       .withColumn("image_id", lit("")).withColumn("cluster_id", lit(0)).limit(0)
     val kk = math.min(k.toLong, n).toInt
-    val model = new KMeans().setK(kk).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(kk).setSeed(seed).setMaxIter(10)
       .fit(assembled)
     model.transform(assembled)
       .select(col("image_id"), col("prediction").as("cluster_id"))
@@ -77,8 +83,10 @@ object ClusterExplainer {
       col("label").cast("double"))
       .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
       .toDF("features", "label")
+      .coalesce(1).cache()
     val model: DecisionTreeClassificationModel = new DecisionTreeClassifier()
       .setMaxDepth(maxDepth).setSeed(seed).fit(assembled)
+    assembled.unpersist()
     rulesFrom(model.rootNode, featureCols, Nil)
   }
 

@@ -78,49 +78,54 @@ object ValidationRun {
           .as[Metrics.RunMetrics].collect()
     }
 
+    val n = cfg.n
+    val knownFlag = broadcast(known.withColumn("__known", lit(1)))
     var lastThreshold = Double.NaN
     for (r <- (resumeFrom + 1) to cfg.rounds) {
       val st = scored.join(statuses, Seq("image_id"))
-      val (t, _) = Thresholds.discover(st, "invalidity_score", "status", knownCount)
+      val (t, _) = Thresholds.discover(st, "invalidity_score", "status", knownCount, n)
       lastThreshold = t
       thresholds += t
 
-      val suspicious = st.filter(col("invalidity_score") >= t)
-        .select("image_id").cache()
-      val faultyRows = suspicious.count()
-
-      // Oracle auto-confirm (testScript.py:38-40): suspicious∩known →
-      // actualFaults_r, suspicious∖known → valid; confirmed faults frozen.
-      val confirmed = suspicious.join(broadcast(known), Seq("image_id"), "left_semi")
-      val rejected = suspicious.join(broadcast(known), Seq("image_id"), "left_anti")
-      val newStatuses = statuses
-        .join(confirmed.withColumn("__c", lit(1)), Seq("image_id"), "left")
-        .join(rejected.withColumn("__r", lit(1)), Seq("image_id"), "left")
-        .select(col("image_id"),
+      // One flagged frame carries everything the round needs: suspicious
+      // flag, oracle membership, old + new status. Oracle auto-confirm
+      // semantics per testScript.py:38-40: suspicious∩known →
+      // actualFaults_r, suspicious∖known → valid, confirmed frozen.
+      val flagged = st
+        .join(knownFlag, Seq("image_id"), "left")
+        .withColumn("is_susp", col("invalidity_score") >= t)
+        .withColumn("is_known", col("__known").isNotNull)
+        .withColumn("status_new",
           when(col("status").startsWith("actualFault"), col("status"))
-            .when(col("__c").isNotNull, lit(s"actualFaults_$r"))
-            .when(col("__r").isNotNull, lit("valid"))
-            .otherwise(col("status")).as("status"))
+            .when(col("is_susp") && col("is_known"), lit(s"actualFaults_$r"))
+            .when(col("is_susp"), lit("valid"))
+            .otherwise(col("status")))
+        .cache()
 
-      // Metrics (formula parity — Evaluation.py:6-30).
-      val afOld = statuses.filter(col("status").startsWith("actualFault"))
-        .select("image_id").cache()
-      val afNew = newStatuses.filter(col("status").startsWith("actualFault"))
-        .select("image_id").cache()
-      val afOldN = afOld.count()
-      val afNewN = afNew.count()
-      val eInterA = suspicious.join(broadcast(known), Seq("image_id"), "left_semi").count()
-      val aMinusE = faultyRows - eInterA
-      val eMinusA = knownCount - eInterA
-      val afMinusE = afNew.join(broadcast(known), Seq("image_id"), "left_anti").count()
-      val afOldMinusNew = afOld.join(afNew, Seq("image_id"), "left_anti").count()
+      // Metrics counts in ONE aggregation pass (formula parity —
+      // Evaluation.py:6-30; the reference re-scans per metric).
+      val c = flagged.agg(
+        sum(when(col("is_susp"), 1L).otherwise(0L)).as("faulty"),
+        sum(when(col("is_susp") && col("is_known"), 1L).otherwise(0L)).as("eInterA"),
+        sum(when(col("status_new").startsWith("actualFault"), 1L).otherwise(0L)).as("afNew"),
+        sum(when(col("status").startsWith("actualFault"), 1L).otherwise(0L)).as("afOld"),
+        sum(when(col("status").startsWith("actualFault") &&
+          !col("status_new").startsWith("actualFault"), 1L).otherwise(0L)).as("afOldMinusNew"),
+        sum(when(col("status_new").startsWith("actualFault") && !col("is_known"), 1L)
+          .otherwise(0L)).as("afMinusE")).head()
+      val faultyRows = c.getLong(0)
+      val eInterA = c.getLong(1)
+      val afNewN = c.getLong(2)
+      val afOldN = c.getLong(3)
+      val afOldMinusNew = c.getLong(4)
+      val afMinusE = c.getLong(5)
       val fnr = Metrics.falseNegativeRate(afOldMinusNew, afOldN)
       val tpr = Metrics.truePositiveRate(afNewN, faultyRows)
       val m = Metrics.RunMetrics(
         run = r,
         previouslyDetected = Metrics.previouslyDetected(knownCount, eInterA),
-        suspiciousDetected = Metrics.newlyDetected(faultyRows, aMinusE),
-        undetected = Metrics.undetected(knownCount, eMinusA),
+        suspiciousDetected = Metrics.newlyDetected(faultyRows, faultyRows - eInterA),
+        undetected = Metrics.undetected(knownCount, knownCount - eInterA),
         newlyDetected = Metrics.newlyDetected(faultyRows, afMinusE),
         truePositiveRate = tpr,
         falsePositiveRate = 1.0 - tpr,
@@ -129,20 +134,22 @@ object ValidationRun {
       metricsHist += m
 
       // Checkpoint: statuses, metrics row, per-partition lineage.
-      TableIO.createOrReplace(newStatuses, statusPath(cfg, r))
+      TableIO.createOrReplace(
+        flagged.select(col("image_id"), col("status_new").as("status")),
+        statusPath(cfg, r))
       TableIO.createOrReplace(Seq(m).toDF(), metricsPath(cfg, r))
-      val lineage = scored
+      val lineage = flagged
         .withColumn("pid", spark_partition_id())
         .groupBy(col("pid").as("partition_id"))
         .agg(count(lit(1)).as("rows_in"),
-          sum(when(col("invalidity_score") >= t, 1L).otherwise(0L)).as("rows_dropped"))
+          sum(when(col("is_susp"), 1L).otherwise(0L)).as("rows_dropped"))
         .withColumn("rows_kept", col("rows_in") - col("rows_dropped"))
         .withColumn("run_id", lit(r))
         .withColumn("completed_at", current_timestamp())
       TableIO.createOrReplace(lineage, lineagePath(cfg, r))
 
       statuses = TableIO.read(spark, statusPath(cfg, r)).select("image_id", "status")
-      suspicious.unpersist(); afOld.unpersist(); afNew.unpersist()
+      flagged.unpersist()
     }
 
     if (lastThreshold.isNaN && thresholds.isEmpty) {

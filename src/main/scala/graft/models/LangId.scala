@@ -24,20 +24,24 @@ final case class LangIdModel(
 
   def featureBuckets(text: String): Array[Int] = {
     val s = LangId.normalize(text)
-    val out = new scala.collection.mutable.ArrayBuffer[Int](s.length * 3)
+    val len = s.length
+    val cap = len + math.max(0, len - 1) + math.max(0, len - 2) // n-grams, n=1..3
+    val out = new Array[Int](cap)
+    var w = 0
     var n = 1
     while (n <= 3) {
       var i = 0
-      while (i + n <= s.length) {
+      while (i + n <= len) {
         var h = 1125899906842597L
         var j = i
         while (j < i + n) { h = 31L * h + s.charAt(j); j += 1 }
-        out += (((h % dim) + dim) % dim).toInt
+        out(w) = (((h % dim) + dim) % dim).toInt
+        w += 1
         i += 1
       }
       n += 1
     }
-    out.toArray
+    if (w == cap) out else java.util.Arrays.copyOf(out, w)
   }
 
   /** Softmax class probabilities for a text. */
@@ -88,6 +92,10 @@ final case class LangIdModel(
 }
 
 object LangId {
+  /** Memoized default model (deterministic corpus + hyperparameters):
+    * train once per JVM, broadcast per session. */
+  lazy val pretrained: LangIdModel = train()
+
   def normalize(text: String): String =
     if (text == null) "" else text.toLowerCase.replaceAll("[^\\p{L} ]", " ").trim
 

@@ -9,12 +9,24 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * training its anomaly model on the full table
   * (/root/reference/backendClasses/DQTestToolHelper.py:130) — then
   * collected (bounded: |charset|^3 keys) and broadcast.
+  *
+  * Counts live in parallel sorted arrays with binary-search lookup: no
+  * per-lookup boxing in the per-row scoring path, compact serialization
+  * for the broadcast.
   */
-final case class NGramLMModel(
-    counts: Map[Long, Long], // kind-tagged n-gram key -> count
-    total: Long) { // total unigram mass
+final class NGramLMModel(
+    private val keys: Array[Long], // sorted kind-tagged n-gram keys
+    private val vals: Array[Long],
+    val total: Long) extends Serializable {
 
   import NGramLMModel._
+
+  def count(key: Long): Long = {
+    val i = java.util.Arrays.binarySearch(keys, key)
+    if (i >= 0) vals(i) else 0L
+  }
+
+  def size: Int = keys.length
 
   def logProb(text: String): Double = {
     val s = LangId.normalize(text)
@@ -23,14 +35,14 @@ final case class NGramLMModel(
     var i = 2
     while (i < s.length) {
       val c1 = s.charAt(i - 2); val c2 = s.charAt(i - 1); val c3 = s.charAt(i)
-      val t = counts.getOrElse(triKey(c1, c2, c3), 0L)
+      val t = count(triKey(c1, c2, c3))
       val p =
-        if (t > 0L) t.toDouble / counts(biKey(c1, c2)).toDouble
+        if (t > 0L) t.toDouble / count(biKey(c1, c2)).toDouble
         else {
-          val b = counts.getOrElse(biKey(c2, c3), 0L)
-          if (b > 0L) backoff * b.toDouble / counts(uniKey(c2)).toDouble
+          val b = count(biKey(c2, c3))
+          if (b > 0L) backoff * b.toDouble / count(uniKey(c2)).toDouble
           else {
-            val u = counts.getOrElse(uniKey(c3), 0L)
+            val u = count(uniKey(c3))
             if (u > 0L) backoff * backoff * u.toDouble / total.toDouble
             else floorProb
           }
@@ -53,6 +65,14 @@ object NGramLMModel {
   val backoff = 0.4
   val floorProb = 1e-7
 
+  def apply(counts: Map[Long, Long], total: Long): NGramLMModel =
+    fromPairs(counts.toArray, total)
+
+  def fromPairs(pairs: Array[(Long, Long)], total: Long): NGramLMModel = {
+    val sorted = pairs.sortBy(_._1)
+    new NGramLMModel(sorted.map(_._1), sorted.map(_._2), math.max(1L, total))
+  }
+
   // 7-bit char packing with a kind tag in the top bits.
   @inline def uniKey(c: Char): Long = (1L << 32) | (c & 0x7f)
   @inline def biKey(c1: Char, c2: Char): Long =
@@ -73,23 +93,49 @@ object NGramLMModel {
     }
     out.iterator
   }
+
+  /** Accumulate one text's n-gram counts into a partition-local map —
+    * the zero-allocation path used by the distributed fit. */
+  def emitInto(text: String, m: java.util.HashMap[Long, Long]): Unit = {
+    val s = LangId.normalize(text)
+    var i = 0
+    while (i < s.length) {
+      m.merge(uniKey(s.charAt(i)), 1L, java.lang.Long.sum _)
+      if (i >= 1) m.merge(biKey(s.charAt(i - 1), s.charAt(i)), 1L, java.lang.Long.sum _)
+      if (i >= 2)
+        m.merge(triKey(s.charAt(i - 2), s.charAt(i - 1), s.charAt(i)), 1L,
+          java.lang.Long.sum _)
+      i += 1
+    }
+  }
 }
 
 object NGramLM {
-  /** Distributed fit: map-side combine via groupBy(key).count, then a
-    * bounded collect (≤ |charset|³ entries). Scale-safe at 10^12 rows —
-    * the shuffle carries at most the key-space cardinality per partition. */
+  /** Distributed fit. The naive shape (flatMap one row per n-gram →
+    * groupBy → count) pays Dataset-encoder cost per emitted element —
+    * ~450 elements/caption — so the fit instead pre-aggregates each
+    * partition into a plain JVM hash map (bounded by the key-space
+    * cardinality ≤ |charset|³, NOT by partition row count) and ships
+    * only (key, count) pairs into the shuffle. Scale-safe at 10^12
+    * rows and ~100× fewer encoded rows. */
   def fit(spark: SparkSession, captions: Dataset[String]): NGramLMModel = {
     import spark.implicits._
     val counted = captions
-      .flatMap(NGramLMModel.emit _)
-      .groupBy("value").count()
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[Long, Long](1 << 14)
+        it.foreach(NGramLMModel.emitInto(_, m))
+        val out = new Array[(Long, Long)](m.size)
+        val e = m.entrySet().iterator()
+        var i = 0
+        while (e.hasNext) { val kv = e.next(); out(i) = (kv.getKey, kv.getValue); i += 1 }
+        out.iterator
+      }
+      .groupBy("_1").agg(org.apache.spark.sql.functions.sum("_2"))
       .as[(Long, Long)]
       .collect()
-    val counts = counted.toMap
     val total = counted.iterator
       .filter { case (k, _) => (k >>> 32) == 1L }
       .map(_._2).sum
-    NGramLMModel(counts, math.max(1L, total))
+    NGramLMModel.fromPairs(counted, total)
   }
 }

@@ -12,6 +12,20 @@ object GraftTestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench.session: avoid the ICU case-mapping class-init stall
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      // Disable RPC-backed session-artifact classloader: janino codegen
+      // class-resolution misses otherwise round-trip the driver file
+      // server per identifier (observed 40s+ stage compiles).
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      // Shuffle scratch on tmpfs + single-file-per-mapper sort writer:
+      // the bypass-merge writer creates maps*reducers tiny files whose
+      // open/mmap latency on the virtio disk dominated small shuffles
+      // (observed 5s-41s variance on identical jobs).
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      .config("spark.file.transferTo", "false")
+      .config("spark.io.compression.codec", "lz4")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
