@@ -255,6 +255,30 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.ops.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // Generic tabular mode (the reference's CSV contract, M2/M3/M6/M7):
+    // z-score + rare-level invalidity over documents(n_chars, lang)
+    "q24_generic_zscore" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars", "lang")
+      val model = graft.generic.GenericQuality.fit(docs, "doc_id")
+      graft.generic.GenericQuality.withScores(docs, model)
+        .select(col("doc_id"),
+          round(col("score_n_chars"), 4).as("s_num"),
+          round(col("score_lang"), 4).as("s_cat"),
+          round(col("invalidity_score"), 4).as("inval"))
+        .orderBy("doc_id")
+    }),
+
+    // Generic mode on a wider mixed-type table (rows-only shape check
+    // driver-side, but fully deterministic)
+    "q25_generic_customer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_acctbal", "c_nationkey", "c_mktsegment")
+      val model = graft.generic.GenericQuality.fit(c, "c_custkey")
+      graft.generic.GenericQuality.withScores(c, model)
+        .select(col("c_custkey"), round(col("invalidity_score"), 4).as("inval"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -415,6 +439,21 @@ object SparkEntry {
         |  + (1.0 - LEAST(1.0,
         |      CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
         |       / GREATEST(LENGTH(text), 1) * 5)) * 0.25, 6) AS quality
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q24_generic_zscore" ->
+      """WITH s AS (SELECT AVG(CAST(n_chars AS DOUBLE)) AS m,
+        |                  STDDEV_POP(CAST(n_chars AS DOUBLE)) AS sd FROM documents),
+        |f AS (SELECT lang AS v, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY lang),
+        |fm AS (SELECT MAX(c) AS mc FROM f),
+        |scored AS (
+        | SELECT d.doc_id,
+        |  COALESCE(LEAST(1.0, GREATEST(0.0,
+        |    (ABS(CAST(d.n_chars AS DOUBLE) - s.m) / s.sd - 3.0) / 3.0)), 1.0) AS s_num,
+        |  1.0 - COALESCE(f.c / fm.mc, 0.0) AS s_cat
+        | FROM documents d CROSS JOIN s CROSS JOIN fm
+        | LEFT JOIN f ON f.v = COALESCE(CAST(d.lang AS VARCHAR), 'NULL'))
+        |SELECT doc_id, ROUND(s_num, 4) AS s_num, ROUND(s_cat, 4) AS s_cat,
+        | ROUND(GREATEST(s_num, s_cat), 4) AS inval
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }

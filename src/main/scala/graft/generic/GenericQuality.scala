@@ -1,0 +1,193 @@
+package graft.generic
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+import graft.discovery.Thresholds
+import graft.eval.Metrics
+
+/** Generic tabular quality mode — the reference's actual user contract
+  * (/root/reference/README.md:112-124): any table whose FIRST column is a
+  * unique record id, remaining columns numeric or categorical features,
+  * plus an optional known-faults id list. Reproduces the semantic
+  * skeleton of `constraintDiscoveryAndFaultDetection`
+  * (DQTestToolHelper.py:59-240) Spark-first:
+  *
+  *  - nulls become the distinct categorical level "NULL" (never dropped),
+  *    matching DataCollection.py:24;
+  *  - constraint discovery = ONE global aggregation pass fitting
+  *    per-column state (numeric: mean/stddev; categorical: level
+  *    frequencies, broadcast) — the Spark replacement for the
+  *    autoencoder/PyOD model zoo (M2/M3): a per-column z-score /
+  *    rare-level scorer is the deterministic, distributed analog of
+  *    per-feature reconstruction error;
+  *  - per-feature invalidity scores in [0,1] (M6), record score = max
+  *    over features (M7, DQTestToolHelper.py:153-157);
+  *  - threshold via the reference-parity percentile + clamp logic (M8,
+  *    [[graft.discovery.Thresholds]]);
+  *  - iterative oracle loop + metrics rows (M15/A7) via [[run]].
+  *
+  * Categorical-vs-numeric is decided by declared Spark type (schema-based
+  * rather than the reference's value-probing `is_number`,
+  * DataCollection.py:49-72 — deliberate divergence noted in SURVEY §4).
+  */
+object GenericQuality {
+
+  /** Per-column fitted constraint state. */
+  sealed trait ColStats extends Serializable
+  final case class NumericStats(mean: Double, std: Double) extends ColStats
+  /** Frequencies of the most common levels (relative to max level count);
+    * levels absent from the map score as rare (freq 0). */
+  final case class CategoricalStats(freq: Map[String, Double]) extends ColStats
+
+  final case class Model(cols: Map[String, ColStats]) extends Serializable
+
+  /** One global aggregation pass fitting every column's constraint state
+    * (the reference trains on the whole table, DQTestToolHelper.py:130).
+    * Categorical frequency tables are capped at `maxLevels` levels per
+    * column (rank by count) so broadcast size is bounded at any scale. */
+  def fit(df: DataFrame, idCol: String, maxLevels: Int = 1024): Model = {
+    val featureCols = df.schema.fields.filter(_.name != idCol)
+    val (numCols, catCols) = featureCols.partition(_.dataType.isInstanceOf[NumericType])
+
+    val numStats: Map[String, ColStats] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val aggs = numCols.flatMap { f =>
+          Seq(avg(col(f.name)).as(s"${f.name}__mean"),
+            stddev_pop(col(f.name)).as(s"${f.name}__std"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        numCols.zipWithIndex.map { case (f, i) =>
+          val mean = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+          val std = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+          f.name -> (NumericStats(mean, std): ColStats)
+        }.toMap
+      }
+
+    val catStats: Map[String, ColStats] = catCols.map { f =>
+      // one shuffle per categorical column over (value -> count); at
+      // scale these run as narrow hash-aggs with map-side combine
+      val counts = df
+        .select(coalesce(col(f.name).cast(StringType), lit("NULL")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("v"))
+        .limit(maxLevels)
+        .collect()
+      val mx = if (counts.isEmpty) 1.0 else counts.head.getLong(1).toDouble
+      f.name -> (CategoricalStats(
+        counts.map(r => r.getString(0) -> r.getLong(1).toDouble / mx).toMap): ColStats)
+    }.toMap
+
+    Model(numStats ++ catStats)
+  }
+
+  /** Per-feature invalidity score columns in [0,1] (M6 analog). */
+  def scoreColumns(model: Model, zMax: Double = 6.0): Seq[(String, Column)] =
+    model.cols.toSeq.sortBy(_._1).map {
+      case (name, NumericStats(mean, std)) =>
+        val z =
+          if (std > 0) abs(col(name).cast("double") - lit(mean)) / lit(std)
+          else when(col(name).cast("double") === lit(mean), 0.0).otherwise(lit(zMax))
+        // null numeric = maximal violation (reference would have turned it
+        // into a "NULL" string level; for numerics we treat it as anomalous)
+        s"score_$name" -> coalesce(
+          least(lit(1.0), greatest(lit(0.0), (z - lit(3.0)) / lit(zMax - 3.0))),
+          lit(1.0))
+      case (name, CategoricalStats(freq)) =>
+        val freqMap =
+          if (freq.isEmpty) map()
+          else map(freq.toSeq.sortBy(_._1)
+            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        val v = coalesce(col(name).cast(StringType), lit("NULL"))
+        // rare or unseen level -> high score (1 - relative frequency)
+        s"score_$name" -> (lit(1.0) - coalesce(element_at(freqMap, v), lit(0.0)))
+    }
+
+  /** Score every record: per-feature columns + record score = max (M7). */
+  def withScores(df: DataFrame, model: Model): DataFrame = {
+    val cols = scoreColumns(model)
+    val withCols = cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    withCols.withColumn("invalidity_score", greatest(cols.map(c => col(c._1)): _*))
+  }
+
+  final case class RoundResult(
+      threshold: Double,
+      metrics: Metrics.RunMetrics)
+
+  final case class Result(
+      decisions: DataFrame, // idCol, invalidity_score, decision
+      rounds: Seq[RoundResult])
+
+  /** The reference CLI harness loop (testScript.py:29-46): score →
+    * threshold (known-fault calibrated + clamp) → suspicious → oracle
+    * confirms suspicious∩known → metrics per round. Statuses are carried
+    * as a DataFrame between rounds (no per-row UPDATEs). */
+  def run(
+      df: DataFrame,
+      idCol: String,
+      knownFaultIds: DataFrame, // single column = idCol
+      rounds: Int = 3): Result = {
+    val model = fit(df, idCol)
+    val scored = withScores(df, model)
+      .select(col(idCol), col("invalidity_score")).cache()
+    val n = scored.count()
+    val known = broadcast(
+      knownFaultIds.select(col(idCol)).withColumn("__known", lit(1)))
+    val knownCount = knownFaultIds.count()
+
+    var statuses = scored.select(col(idCol), lit("clean").as("status"))
+    val results = scala.collection.mutable.ArrayBuffer.empty[RoundResult]
+    var lastT = Double.NaN
+    for (r <- 1 to rounds) {
+      val st = scored.join(statuses, Seq(idCol))
+      val (t, _) = Thresholds.discover(st, "invalidity_score", "status", knownCount, n)
+      lastT = t
+      val flagged = st.join(known, Seq(idCol), "left")
+        .withColumn("is_susp", col("invalidity_score") >= t)
+        .withColumn("is_known", col("__known").isNotNull)
+        .withColumn("status_new",
+          when(col("status").startsWith("actualFault"), col("status"))
+            .when(col("is_susp") && col("is_known"), lit(s"actualFaults_$r"))
+            .when(col("is_susp"), lit("valid"))
+            .otherwise(col("status")))
+        .cache()
+      val c = flagged.agg(
+        sum(when(col("is_susp"), 1L).otherwise(0L)),
+        sum(when(col("is_susp") && col("is_known"), 1L).otherwise(0L)),
+        sum(when(col("status_new").startsWith("actualFault"), 1L).otherwise(0L)),
+        sum(when(col("status").startsWith("actualFault"), 1L).otherwise(0L)),
+        sum(when(col("status").startsWith("actualFault") &&
+          !col("status_new").startsWith("actualFault"), 1L).otherwise(0L)),
+        sum(when(col("status_new").startsWith("actualFault") && !col("is_known"), 1L)
+          .otherwise(0L))).head()
+      val (faulty, eInterA, afNew, afOld, afLost, afMinusE) =
+        (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4), c.getLong(5))
+      val fnr = Metrics.falseNegativeRate(afLost, afOld)
+      val tpr = Metrics.truePositiveRate(afNew, faulty)
+      results += RoundResult(t, Metrics.RunMetrics(
+        run = r,
+        previouslyDetected = Metrics.previouslyDetected(knownCount, eInterA),
+        suspiciousDetected = Metrics.newlyDetected(faulty, faulty - eInterA),
+        undetected = Metrics.undetected(knownCount, knownCount - eInterA),
+        newlyDetected = Metrics.newlyDetected(faulty, afMinusE),
+        truePositiveRate = tpr,
+        falsePositiveRate = 1.0 - tpr,
+        trueNegativeRate = 1.0 - fnr,
+        falseNegativeRate = fnr))
+      statuses = flagged.select(col(idCol), col("status_new").as("status"))
+        .localCheckpoint(true) // cut lineage so round plans don't compound
+      flagged.unpersist()
+    }
+    val decisions = scored.withColumn("decision",
+      when(col("invalidity_score") >= lastT, "drop").otherwise("keep"))
+    Result(decisions, results.toSeq)
+  }
+
+  /** CSV entry matching the reference import contract: header CSV, first
+    * column = unique id, schema inferred (DataCollection.py:17-19). */
+  def fromCsv(spark: SparkSession, csvPath: String): (DataFrame, String) = {
+    val df = spark.read.option("header", "true").option("inferSchema", "true").csv(csvPath)
+    (df, df.columns.head)
+  }
+}
