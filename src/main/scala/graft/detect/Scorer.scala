@@ -3,6 +3,7 @@ package graft.detect
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Exprs
 import graft.models.{LangId, LangIdModel, NGramLM, NGramLMModel}
 import graft.rules.HeuristicRules
 import graft.scrub.Scrub
@@ -37,11 +38,9 @@ object Scorer {
     val langId = spark.sparkContext.broadcast(LangId.pretrained)
     val lm = spark.sparkContext.broadcast(
       NGramLM.fit(spark, images.select(col("caption")).as[String]))
-    val qUdf = udf((s: String) =>
-      (lm.value.perplexity(s), langId.value.bestLang(s)._1))
     val perLang = images
-      .select(qUdf(col("caption")).as("q"))
-      .select(col("q._1").as("ppl"), col("q._2").as("lang"))
+      .select(Exprs.perplexity(col("caption"), lm).as("ppl"),
+        Exprs.langidBest(col("caption"), langId).as("lang"))
       .groupBy("lang")
       .agg(expr("percentile_approx(ppl, 0.5D, 10000)").as("p50"),
         count(lit(1)).as("n"))
@@ -58,6 +57,18 @@ object Scorer {
     }
     Models(langId, lm, global, byLang)
   }
+
+  /** Warm-start fit: reload checkpointed model state when present
+    * (the reference's pretrained-model path, DQTestToolHelper.py:109-111),
+    * else fit and checkpoint. */
+  def fitOrLoad(spark: SparkSession, images: DataFrame, checkpointDir: Option[String]): Models =
+    checkpointDir.flatMap(d => graft.models.ModelCheckpoint.load(spark, d)) match {
+      case Some(m) => m
+      case None =>
+        val m = fit(spark, images)
+        checkpointDir.foreach(d => graft.models.ModelCheckpoint.save(spark, m, d))
+        m
+    }
 
   /** Heuristic (model-free) rule score columns, each in [0,1]. */
   def ruleColumns: Seq[(String, Column)] = {
@@ -77,31 +88,25 @@ object Scorer {
     * (acceptedProb + perplexity + predicted lang) against broadcast
     * state; everything else is built-in Catalyst expressions. */
   def withScores(images: DataFrame, m: Models, dupDropIds: DataFrame): DataFrame = {
-    val langIdB = m.langId
-    val lmB = m.lm
-    val qUdf = udf((s: String) => {
-      val acc = langIdB.value.acceptedProb(s)
-      val lang = langIdB.value.bestLang(s)._1
-      val ppl = lmB.value.perplexity(s)
-      (acc, ppl, lang)
-    })
     val refMap =
       if (m.pplRefByLang.isEmpty) map()
       else map(m.pplRefByLang.toSeq.sortBy(_._1)
         .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
     val rules = ruleColumns
     val dup = broadcast(dupDropIds.withColumn("__is_dup", lit(1.0)))
+    // model scores via native Catalyst expressions (doGenCode — these
+    // stay inside whole-stage codegen, no UDF serde)
     val withQ = rules.foldLeft(images) { case (df, (name, c)) => df.withColumn(name, c) }
-      .withColumn("__q", qUdf(col("caption")))
       .withColumn("__pplref",
-        coalesce(element_at(refMap, col("__q._3")), lit(m.pplRef)))
+        coalesce(element_at(refMap, Exprs.langidBest(col("caption"), m.langId)),
+          lit(m.pplRef)))
       .withColumn("score_langid", least(lit(1.0), greatest(lit(0.0),
-        (lit(0.7) - col("__q._1")) / lit(0.4))))
+        (lit(0.7) - Exprs.langidAcceptedProb(col("caption"), m.langId)) / lit(0.4))))
       .withColumn("score_ppl", least(lit(1.0), greatest(lit(0.0),
-        (col("__q._2") / col("__pplref") - lit(2.5)) / lit(2.0))))
+        (Exprs.perplexity(col("caption"), m.lm) / col("__pplref") - lit(2.5)) / lit(2.0))))
       .join(dup, Seq("image_id"), "left")
       .withColumn("score_dup", coalesce(col("__is_dup"), lit(0.0)))
-      .drop("__is_dup", "__q", "__pplref")
+      .drop("__is_dup", "__pplref")
     val allNames = rules.map(_._1) ++ Seq("score_langid", "score_ppl", "score_dup")
     withQ
       .withColumn("invalidity_score", greatest(allNames.map(col): _*))

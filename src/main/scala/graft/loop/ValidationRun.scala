@@ -52,9 +52,9 @@ object ValidationRun {
     val known = ImageGen.knownFaults(spark, gen).select("image_id").cache()
     val knownCount = known.count()
 
-    // Constraint models: one fit per run, broadcast (warm-start analog of
-    // DQTestToolHelper.py:109-111).
-    val models = Scorer.fit(spark, images)
+    // Constraint models: warm-start from the checkpoint when resuming
+    // (DQTestToolHelper.py:109-111), else fit once and checkpoint.
+    val models = Scorer.fitOrLoad(spark, images, Some(s"${cfg.outDir}/model"))
     val dupDrop = PhashDup.dropIds(images).cache()
     val scored = Scorer.withScores(images, models, dupDrop)
       .select(col("image_id"), col("invalidity_score"), col("scores"),

@@ -69,6 +69,9 @@ final case class LangIdModel(
     logits
   }
 
+  /** Java/codegen-friendly variant of [[bestLang]]. */
+  def bestLangLabel(text: String): String = bestLang(text)._1
+
   def bestLang(text: String): (String, Double) = {
     val p = predictProbs(text)
     var bi = 0

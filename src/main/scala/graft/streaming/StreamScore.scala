@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.detect.Scorer
+import graft.scrub.Scrub
+
+/** Structured Streaming surface (SURVEY.md §2.7 stretch): the scoring
+  * core is pure Catalyst expressions + broadcast state, so the same
+  * per-row validate pass applies unchanged to a `readStream` micro-batch.
+  * The reference has no streaming at all; this is the north-star
+  * extension for continuously-arriving image+caption shards.
+  *
+  * Near-duplicate detection cannot self-join an unbounded stream; it
+  * becomes *stateful first-seen tracking* keyed by phash
+  * ([[firstSeenByPhash]], flatMapGroupsWithState) — exact-duplicate
+  * semantics per key with bounded per-key state.
+  */
+object StreamScore {
+
+  /** Per-row scores + decision on a streaming frame (no dedup join —
+    * see [[firstSeenByPhash]]). `eventTime` column must already exist. */
+  def scoreStream(stream: DataFrame, m: Scorer.Models, threshold: Double): DataFrame = {
+    val rules = Scorer.ruleColumns
+    val withCols = rules.foldLeft(stream) { case (df, (n, c)) => df.withColumn(n, c) }
+      .withColumn("score_langid", least(lit(1.0), greatest(lit(0.0),
+        (lit(0.7) - org.apache.spark.sql.graft.Exprs.langidAcceptedProb(col("caption"), m.langId)) / lit(0.4))))
+      .withColumn("score_ppl", least(lit(1.0), greatest(lit(0.0),
+        (org.apache.spark.sql.graft.Exprs.perplexity(col("caption"), m.lm) / lit(m.pplRef) - lit(2.5)) / lit(2.0))))
+    val names = rules.map(_._1) ++ Seq("score_langid", "score_ppl")
+    withCols
+      .withColumn("invalidity_score", greatest(names.map(col): _*))
+      .withColumn("scrubbed_caption", Scrub.scrub(col("caption")))
+      .withColumn("decision",
+        when(col("invalidity_score") >= threshold, "drop").otherwise("keep"))
+  }
+
+  /** Windowed drop-rate audit metrics with watermark — the streaming
+    * analog of the per-run metrics row. */
+  def windowedDropRate(
+      decisions: DataFrame,
+      eventTimeCol: String,
+      window: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    decisions
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(eventTimeCol), window))
+      .agg(count(lit(1)).as("rows_in"),
+        sum(when(col("decision") === "drop", 1L).otherwise(0L)).as("rows_dropped"))
+      .select(col("window.start").as("window_start"),
+        col("rows_in"), col("rows_dropped"))
+
+  final case class Seen(image_id: String, phash: Long, is_duplicate: Boolean)
+
+  /** Stateful exact-phash dedup over a stream: first arrival of a phash
+    * passes, later arrivals are flagged duplicates
+    * (KeyValueGroupedDataset.flatMapGroupsWithState custom state). */
+  def firstSeenByPhash(stream: Dataset[(String, Long)]): Dataset[Seen] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (phash: Long, rows: Iterator[(String, Long)], state: GroupState[Boolean]) => {
+          val seenBefore = state.getOption.getOrElse(false)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Seen]
+          var seen = seenBefore
+          rows.foreach { case (id, ph) =>
+            out += Seen(id, ph, is_duplicate = seen)
+            seen = true
+          }
+          state.update(seen)
+          out.iterator
+        })
+  }
+}

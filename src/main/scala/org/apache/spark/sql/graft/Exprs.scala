@@ -1,0 +1,121 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.models.{LangIdModel, NGramLMModel}
+
+/** Native Catalyst expressions for the model-based scorers — the codegen
+  * tier above the Scala-UDF tier (SURVEY.md §2.9): each implements
+  * `doGenCode` so the call stays inside whole-stage codegen (no UDF
+  * serde, no extra projection), reading broadcast model state via a
+  * codegen reference object.
+  *
+  * These are the Spark-native replacement for the reference's
+  * `PatternDiscovery.assignInvalidityScore` scorer surface
+  * (/root/reference/backendClasses/PatternDiscovery.py:3-15).
+  */
+object Exprs {
+
+  /** P(caption ∈ accepted language set) under the broadcast langid. */
+  case class LangIdAcceptedProb(child: Expression, bc: Broadcast[LangIdModel])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      bc.value.acceptedProb(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("langIdBc", bc,
+        classOf[Broadcast[LangIdModel]].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = ((graft.models.LangIdModel) $bcRef.value())
+           |  .acceptedProb($c.toString());""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_accepted_prob"
+  }
+
+  /** argmax language label under the broadcast langid. */
+  case class LangIdBest(child: Expression, bc: Broadcast[LangIdModel])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(bc.value.bestLang(v.asInstanceOf[UTF8String].toString)._1)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("langIdBc", bc,
+        classOf[Broadcast[LangIdModel]].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  ((graft.models.LangIdModel) $bcRef.value())
+           |    .bestLangLabel($c.toString()));""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_langid"
+  }
+
+  /** Per-character perplexity under the broadcast n-gram LM. */
+  case class Perplexity(child: Expression, bc: Broadcast[NGramLMModel])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      bc.value.perplexity(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("lmBc", bc,
+        classOf[Broadcast[NGramLMModel]].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = ((graft.models.NGramLMModel) $bcRef.value())
+           |  .perplexity($c.toString());""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_perplexity"
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (fused xor +
+    * popcount; also registrable in SQL as hamming64). */
+  case class Hamming64(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = (long) java.lang.Long.bitCount($a ^ $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "hamming64"
+  }
+
+  // ---- Column-level API -------------------------------------------------
+  def langidAcceptedProb(c: Column, bc: Broadcast[LangIdModel]): Column =
+    Bridge.column(LangIdAcceptedProb(Bridge.expression(c), bc))
+
+  def langidBest(c: Column, bc: Broadcast[LangIdModel]): Column =
+    Bridge.column(LangIdBest(Bridge.expression(c), bc))
+
+  def perplexity(c: Column, bc: Broadcast[NGramLMModel]): Column =
+    Bridge.column(Perplexity(Bridge.expression(c), bc))
+
+  def hamming64(a: Column, b: Column): Column =
+    Bridge.column(Hamming64(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register the SQL surface: hamming64 plus model-bound functions
+    * (graft_langid / graft_accepted_prob / graft_perplexity). */
+  def registerSql(
+      spark: org.apache.spark.sql.SparkSession,
+      langId: Broadcast[LangIdModel],
+      lm: Broadcast[NGramLMModel]): Unit = {
+    Bridge.register(spark, "hamming64", es => Hamming64(es(0), es(1)))
+    Bridge.register(spark, "graft_accepted_prob", es => LangIdAcceptedProb(es.head, langId))
+    Bridge.register(spark, "graft_langid", es => LangIdBest(es.head, langId))
+    Bridge.register(spark, "graft_perplexity", es => Perplexity(es.head, lm))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Exprs
+import org.scalatest.funsuite.AnyFunSuite
+import graft.models.{LangId, NGramLM}
+
+/** Native Catalyst expression tier: A/B parity vs direct model calls,
+  * null handling, codegen participation, SQL registration. */
+class ExprsSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  lazy val langIdB = spark.sparkContext.broadcast(LangId.pretrained)
+  lazy val lmB = {
+    val corpus = LangId.trainingCorpus().map(_._2)
+    spark.sparkContext.broadcast(NGramLM.fit(spark, spark.createDataset(corpus)))
+  }
+
+  val samples = Seq(
+    "a photo of a dog running on the beach at sunset",
+    "le chien qui court sur la plage",
+    "sobaka begushchaya plyazh zakat",
+    "xqzvk pwxjq brtnk zzvwq",
+    "")
+
+  test("expression values match direct model calls (A/B parity)") {
+    val df = samples.toDF("caption")
+    val rows = df.select(
+      col("caption"),
+      Exprs.langidAcceptedProb(col("caption"), langIdB).as("acc"),
+      Exprs.langidBest(col("caption"), langIdB).as("lang"),
+      Exprs.perplexity(col("caption"), lmB).as("ppl")).collect()
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getDouble(1) == LangId.pretrained.acceptedProb(c))
+      assert(r.getString(2) == LangId.pretrained.bestLang(c)._1)
+      assert(r.getDouble(3) == lmB.value.perplexity(c))
+    }
+  }
+
+  test("null input yields null output (UnaryExpression null semantics)") {
+    val df = Seq[(String, Int)]((null, 1)).toDF("caption", "x")
+    val r = df.select(Exprs.langidAcceptedProb(col("caption"), langIdB)).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("expressions run inside whole-stage codegen") {
+    val df = spark.range(100).selectExpr("cast(id as string) as caption")
+      .select(Exprs.perplexity(col("caption"), lmB).as("p"))
+      .filter(col("p") > 0)
+    val plan = df.queryExecution.executedPlan.toString()
+    // "*(n)" marks operators inside WholeStageCodegen stage n; the
+    // Project/Filter containing our expression must carry it
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_perplexity")), plan)
+    assert(df.count() == 100)
+  }
+
+  test("hamming64: symmetry, bounds, parity with bit_count") {
+    val df = Seq((0L, -1L), (5L, 5L), (0x0fL, 0x01L)).toDF("a", "b")
+    val rows = df.select(
+      Exprs.hamming64(col("a"), col("b")).as("h1"),
+      bit_count(col("a").bitwiseXOR(col("b"))).cast("long").as("h2"),
+      Exprs.hamming64(col("b"), col("a")).as("h3")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) == r.getLong(2))
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 64)
+    }
+  }
+
+  test("SQL registration: functions callable from spark.sql") {
+    Exprs.registerSql(spark, langIdB, lmB)
+    val out = spark.sql(
+      """SELECT hamming64(15L, 1L) AS h,
+        |  graft_langid('le chien court sur la plage') AS l,
+        |  graft_accepted_prob('a photo of the dog') > 0.5 AS acc_ok,
+        |  graft_perplexity('xqzvk pwxjq brtnk') > 0 AS ppl_ok""".stripMargin).head()
+    assert(out.getLong(0) == 3L)
+    assert(out.getString(1) == "fr")
+    assert(out.getBoolean(2) && out.getBoolean(3))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamScore
+import graft.synth.{GenConfig, ImageGen}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  val dir = "target/graft-stream-in"
+
+  def writeShard(): Unit = {
+    PipelineLoop.deleteRecursively(new java.io.File(dir))
+    ImageGen.images(spark, GenConfig(n = 500L, parts = 4))
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) +
+        substring(col("image_id"), 4, 9).cast("long") * 1000))
+      .write.parquet(dir)
+  }
+
+  test("streaming micro-batch applies the same scoring expressions") {
+    writeShard()
+    val batchImages = PipelineCache.images(spark, 500L)
+    val models = PipelineCache.models(spark, 500L)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val scored = StreamScore.scoreStream(stream, models, threshold = 0.5)
+      .select("image_id", "decision", "invalidity_score", "scrubbed_caption")
+    val q = scored.writeStream.format("memory").queryName("stream_scores")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_scores").collect()
+    assert(got.length == 500)
+    // parity vs the batch path (minus the dup join, which is stateful
+    // in streaming): same rows -> same scrubbed caption and score
+    val batch = graft.detect.Scorer.withScores(
+      batchImages, models, spark.emptyDataset[String].toDF("image_id"))
+      .select(col("image_id"), col("scrubbed_caption")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      assert(r.getString(3) == batch(r.getString(0)), s"scrub mismatch ${r.getString(0)}")
+    }
+    // drops present (seeded faults score >= 0.5)
+    assert(got.count(_.getString(1) == "drop") > 0)
+  }
+
+  test("windowed drop-rate aggregation with watermark") {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val models = PipelineCache.models(spark, 500L)
+    val agg = StreamScore.windowedDropRate(
+      StreamScore.scoreStream(stream, models, 0.5), "ts")
+    val q = agg.writeStream.format("memory").queryName("stream_windows")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("stream_windows").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == 500L)
+  }
+
+  test("stateful first-seen phash dedup across micro-batches") {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("image_id"), col("phash")).as[(String, Long)]
+    val deduped = StreamScore.firstSeenByPhash(stream)
+    val q = deduped.toDF().writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("stream_dedup").collect()
+    assert(rows.length == 500)
+    // exact-phash duplicates: every phash has exactly one non-duplicate row
+    val byHash = rows.groupBy(_.getLong(1))
+    byHash.foreach { case (_, rs) =>
+      assert(rs.count(!_.getBoolean(2)) == 1)
+    }
+  }
+}
