@@ -90,6 +90,84 @@ object ClusterExplainer {
     rulesFrom(model.rootNode, featureCols, Nil)
   }
 
+  /** Random-forest variant of the interpretation model zoo (M11: the
+    * reference trains RF n=10 and extracts its 6th estimator,
+    * SklearnRandomForest.py:17-23; we extract the first tree —
+    * deliberate, deterministic divergence). */
+  def forestRules(
+      labeled: DataFrame,
+      featureCols: Seq[String],
+      numTrees: Int = 10,
+      maxDepth: Int = 5,
+      seed: Long = 42L): Seq[String] = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val assembled = labeled.select(
+      array(featureCols.map(c => col(c).cast("double")): _*).as("arr"),
+      col("label").cast("double"))
+      .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
+      .toDF("features", "label")
+      .coalesce(1).cache()
+    val model = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(assembled)
+    assembled.unpersist()
+    rulesFrom(model.trees.head.rootNode, featureCols, Nil)
+  }
+
+  /** Gradient-boosted variant (M11: H2oGradientBoosting.py:11-25,
+    * ntrees=1 depth=5 — a single boosted stump-tree, rules from it). */
+  def gbtRules(
+      labeled: DataFrame,
+      featureCols: Seq[String],
+      maxDepth: Int = 5,
+      seed: Long = 42L): Seq[String] = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val assembled = labeled.select(
+      array(featureCols.map(c => col(c).cast("double")): _*).as("arr"),
+      col("label").cast("double"))
+      .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
+      .toDF("features", "label")
+      .coalesce(1).cache()
+    val model = new org.apache.spark.ml.classification.GBTClassifier()
+      .setMaxIter(1).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(assembled)
+    assembled.unpersist()
+    rulesFrom(model.trees.head.rootNode, featureCols, Nil)
+  }
+
+  /** Grid search (M4): driver-side loop of Spark fits over candidate k,
+    * elbow rule — take the smallest k after which a larger k no longer
+    * cuts training cost by ≥10%. Deliberately NOT replicating the
+    * reference's max-MSE pick (H2oKmeans.py:28, documented reference
+    * bug; SURVEY.md §4); raw min-cost is degenerate (monotone in k). */
+  def bestK(
+      faulty: DataFrame,
+      scoreCols: Seq[String],
+      ks: Seq[Int],
+      seed: Long = 42L): Int = {
+    val spark = faulty.sparkSession
+    import spark.implicits._
+    val assembled = faulty.select(array(scoreCols.map(col): _*).as("arr"))
+      .map(r => Tuple1(Vectors.dense(r.getSeq[Double](0).toArray)))
+      .toDF("features")
+      .coalesce(1).cache()
+    val n = assembled.count()
+    val candidates = ks.filter(k => k >= 2 && k <= n).sorted
+    require(candidates.nonEmpty, "need at least one candidate k in [2, n]")
+    val costs = candidates.map { k =>
+      val m = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(assembled)
+      k -> m.summary.trainingCost
+    }
+    assembled.unpersist()
+    var best = costs.head
+    costs.tail.foreach { case (k, c) =>
+      if (c < 0.9 * best._2) best = (k, c)
+    }
+    best._1
+  }
+
   /** Recurse MLlib tree nodes → "IF cond AND cond THEN valid|invalid"
     * strings (driver-side, like the reference's treeToCode — pure
     * interpretation, no data-plane cost). */

@@ -32,6 +32,38 @@ object Multimodal {
 
   final case class VideoFrames(id: String, frame_idx: Int, frame: Array[Byte])
 
+  /** Peak signal-to-noise ratio between two decoded images (the
+    * BASELINE.md decoded-pixel fidelity gate; ∞ for identical pixels).
+    * Driver/executor-side scalar over decoded BufferedImages. */
+  def psnr(a: java.awt.image.BufferedImage, b: java.awt.image.BufferedImage): Double = {
+    require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "dimension mismatch")
+    var mse = 0.0
+    var n = 0L
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+        var s = 16
+        while (s >= 0) {
+          val d = ((pa >> s) & 0xff) - ((pb >> s) & 0xff)
+          mse += d.toDouble * d; n += 1
+          s -= 8
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (mse == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 / (mse / n))
+  }
+
+  def psnrBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val ia = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    val ib = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    psnr(ia, ib)
+  }
+
   /** Decode + feature-extract: mean channel intensities. Real ImageIO
     * decode; corrupt payloads yield decode_ok=false rows, never a task
     * failure. */

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: predicate pushdown into the parquet
+  * scan, column pruning, broadcast join selection, semi-join strategy,
+  * whole-stage codegen coverage — asserted on the driver-contract
+  * queries so regressions fail loudly. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize THIS plan (count() would plan separately)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("filtered scan pushes predicates into the parquet reader (q02)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.contains("IsNotNull(lang)") || p.contains("EqualTo(lang,en)"),
+      p.take(1500))
+  }
+
+  test("column pruning: unused text column never read (q02)") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+    assert(readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("small dimension is broadcast (q18 3-way join)") {
+    val p = plan("q18_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti (q03/q04)") {
+    assert(plan("q03_semi_join").contains("LeftSemi"))
+    assert(plan("q04_anti_join").contains("LeftAnti"))
+  }
+
+  test("scalar quality rules run inside whole-stage codegen (q13)") {
+    val p = plan("q13_quality_rules")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), p.take(1500))
+  }
+
+  test("decimal-exact aggregate uses hash aggregation (q01)") {
+    val p = plan("q01_group_agg")
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+}
