@@ -78,6 +78,17 @@ class GenericQualitySpec extends AnyFunSuite {
     assert(res.rounds.last.metrics.undetected <= 0.01)
   }
 
+  test("10-round harness parity: metrics row per round, TPGR >= 0 (testScript.py)") {
+    val (df, outliers) = fixture(500)
+    val res = GenericQuality.run(df, "id", outliers.toSeq.toDF("id"), rounds = 10)
+    assert(res.rounds.size == 10)
+    val tprs = res.rounds.map(_.metrics.truePositiveRate)
+    assert(graft.eval.Metrics.truePositiveGrowthRate(tprs) >= -1e-9, tprs.toString)
+    // confirmed faults stay frozen: PD non-decreasing across rounds
+    val pds = res.rounds.map(_.metrics.previouslyDetected)
+    assert(pds.zip(pds.tail).forall { case (a, b) => b >= a - 1e-9 }, pds.toString)
+  }
+
   test("fromCsv: first column is the id, schema inferred") {
     val (df, _) = fixture(100)
     val path = "target/graft-generic-csv"
