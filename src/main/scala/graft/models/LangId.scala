@@ -99,8 +99,27 @@ object LangId {
     * train once per JVM, broadcast per session. */
   lazy val pretrained: LangIdModel = train()
 
-  def normalize(text: String): String =
-    if (text == null) "" else text.toLowerCase.replaceAll("[^\\p{L} ]", " ").trim
+  /** Lowercase; any non-letter, non-space char becomes a space; trimmed.
+    * Hand-rolled (no per-call regex compile — this runs 3× per row in
+    * the scoring hot path). */
+  def normalize(text: String): String = {
+    if (text == null) return ""
+    val n = text.length
+    val out = new Array[Char](n)
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      out(i) =
+        if (c == ' ' || Character.isLetter(c)) Character.toLowerCase(c)
+        else ' '
+      i += 1
+    }
+    var s = 0
+    var e = n
+    while (s < e && out(s) == ' ') s += 1
+    while (e > s && out(e - 1) == ' ') e -= 1
+    new String(out, s, e - s)
+  }
 
   /** Deterministic labeled training corpus: accepted langs + "ru" +
     * "gib" classes, generated from the same public vocab pools as the

@@ -31,12 +31,21 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: for hash seed i, min over shingles of
-    * xxhash64(i, shingle). Pure built-ins — no UDF. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** MinHash signature. One *string* xxhash64 per shingle, then the
+    * i-th family member re-hashes that 64-bit value xor'd with a
+    * per-seed mask (fixed-width long hashing — far cheaper than hashing
+    * the string per seed; xor/shift only, safe under ANSI overflow
+    * checking). Pure built-ins — no UDF. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val hs = transform(shingleCol, s => xxhash64(s))
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+      i => {
+        val iL = i.cast("long")
+        val mask = shiftleft(iL, 40).bitwiseXOR(shiftleft(iL, 20)).bitwiseXOR(iL)
+        array_min(transform(hs, h => xxhash64(h.bitwiseXOR(mask))))
+      })
+  }
 
   /** Exact Jaccard over two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
