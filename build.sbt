@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through unprefixed: the Bench/Verify
+// contract is ONE machine-readable JSON line on stdout, and sbt's default
+// LoggedOutput wraps every line in "[info] " (the round-1 driver recorded
+// "parsed": null because of that prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -109,9 +109,15 @@ object Bench {
     val (fitHigh, scoreHigh) = best2(spark, cpus)
 
     // --- Phase 3: per-query timings at local[cpus] ---------------------
+    // A failing query must NOT bench as fast-and-green: record the error
+    // string per query and surface it in the JSON.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -148,9 +154,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\r\n\t]", " ") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""errors":$errJson,""" +
         s""""pipeline_images":$benchImages,""" +
         s""""cpus_high":$cpus,"cpus_low":$lowCpus,""" +
         s""""fit_sec_high":$fitHigh,"fit_sec_low":$fitLow,""" +
@@ -159,6 +170,13 @@ object Bench {
         s""""scaling_efficiency":$eff,""" +
         s""""dedup_rows":$dedupN,"minhash_docs_per_sec":${dedupN / minhashSec},""" +
         s""""simhash_docs_per_sec":${dedupN / simhashSec},""" +
-        s""""ann_rows":$annN,"ann_brute_sec":$annBruteSec,"ann_lsh_sec":$annLshSec}""")
+        s""""ann_rows":$annN,"ann_brute_sec":$annBruteSec,"ann_lsh_sec":$annLshSec}"""
+    println(json)
+    // Belt-and-braces for the harness: also persist the line to a file so
+    // a log-prefix regression can never make the round unparseable again.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+        json.getBytes("UTF-8")): Unit
+    } catch { case _: Throwable => () }
   }
 }

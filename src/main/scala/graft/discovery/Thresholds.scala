@@ -48,18 +48,52 @@ object Thresholds {
     discover(scored, scoreCol, statusCol, nKnownFaults, scored.count())
 
   /** Variant with the row count precomputed (the loop knows n once —
-    * saves one full-scan job per round). */
+    * saves one full-scan job per round).
+    *
+    * The engine path uses `percentile_approx` (a mergeable KLL-style
+    * sketch, accuracy 10000: partial-aggregated per partition, merged in
+    * constant space) — the reference's exact `np.percentile`
+    * (DQTestToolHelper.py:171-173) maps to Spark's exact `Percentile`,
+    * a TypedImperativeAggregate that buffers the whole value multiset on
+    * ONE reducer: an OOM at 10^12 rows and a serial bottleneck at any
+    * scale (SURVEY.md §2 A3). Exact parity stays available for tests and
+    * oracle queries via `exact = true`. */
   def discover(
       scored: DataFrame,
       scoreCol: String,
       statusCol: String,
       nKnownFaults: Long,
-      n: Long): (Double, Double) = {
+      n: Long,
+      exact: Boolean = false): (Double, Double) = {
     val pKnownFrac = if (n > 0) 1.0 - nKnownFaults.toDouble / n.toDouble else 1.0
-    val percRow = scored.agg(
-      expr(s"percentile($scoreCol, array(0.95D, $pKnownFrac, 0.5D))").as("ps"))
-      .head()
-    val ps = percRow.getSeq[Double](0)
+    val ps: Seq[Double] =
+      if (exact) {
+        scored.agg(
+          expr(s"percentile($scoreCol, array(0.95D, $pKnownFrac, 0.5D))").as("ps"))
+          .head().getSeq[Double](0)
+      } else {
+        // Sketch path: percentile_approx returns an ACTUAL data value, and
+        // score distributions plateau heavily (greatest() over few rules),
+        // so the value at rank 1−k/n can be the top CLEAN plateau — with
+        // >= drop semantics that would drop every row tied at that value.
+        // The exact percentile avoids this by *interpolating* into the
+        // clean/faulty gap (np.percentile semantics the reference relies
+        // on, DQTestToolHelper.py:171-173). Recover the same effect
+        // sketch-side: query half a fault-fraction below and above the
+        // calibrated rank and take the midpoint — lands mid-gap whenever
+        // the classes separate, degrades to the plain sketch value when
+        // they don't.
+        val delta = if (nKnownFaults > 0 && n > 0)
+          nKnownFaults.toDouble / n.toDouble / 2.0 else 0.0
+        val pLo = math.max(0.0, pKnownFrac - delta)
+        val pHi = math.min(1.0, pKnownFrac + delta)
+        val raw = scored.agg(
+          expr(s"percentile_approx($scoreCol, array(0.95D, $pLo, $pHi, 0.5D), 10000)")
+            .as("ps"))
+          .head().getSeq[Double](0)
+        val pKnown = if (raw(2) > raw(1)) (raw(1) + raw(2)) / 2.0 else raw(2)
+        Seq(raw(0), pKnown, raw(3))
+      }
 
     val statusClass: Column =
       when(col(statusCol).startsWith("actualFault"), "af")

@@ -22,34 +22,48 @@ import org.apache.spark.sql.functions._
   */
 object ClusterExplainer {
 
-  /** Assign cluster ids to faulty rows by k-means over score columns.
+  /** Deterministic bounded sample for iterative model fits: distributed
+    * top-k by id-hash (TakeOrdered — no full sort, no single-task scan),
+    * then ONE partition so the iterative MLlib jobs don't pay 32-task
+    * scheduling overhead per iteration. The FIT is bounded at any corpus
+    * size; assignment/transform stays partition-parallel over the full
+    * input. (The reference likewise clusters only the suspicious subset,
+    * DQTestToolHelper.py:251-256.) */
+  private def fitSample(assembled: DataFrame, hashCols: Seq[String], maxFit: Int): DataFrame =
+    assembled.orderBy(xxhash64(hashCols.map(col): _*))
+      .limit(maxFit).coalesce(1)
+
+  /** Assign cluster ids to faulty rows by k-means over score columns:
+    * fit on a bounded deterministic sample, assign every row in parallel.
     * Returns (image_id, cluster_id). */
   def clusterFaulty(
       faulty: DataFrame,
       scoreCols: Seq[String],
       k: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxFit: Int = 10000): DataFrame = {
     val spark = faulty.sparkSession
     import spark.implicits._
-    // Tiny model-fit input: coalesce to one partition so the iterative
-    // MLlib jobs don't pay 32-task scheduling overhead per iteration.
-    // (The faulty set is a small fraction by construction; at true scale
-    // you'd sample it before clustering, as the reference clusters only
-    // the suspicious subset — DQTestToolHelper.py:251-256.)
     val assembled = faulty.select(col("image_id"),
       array(scoreCols.map(col): _*).as("arr"))
       .map { r =>
         (r.getString(0), Vectors.dense(r.getSeq[Double](1).toArray))
       }.toDF("image_id", "features")
-      .coalesce(1).cache()
-    val n = assembled.count()
-    if (n == 0) return spark.emptyDataFrame
-      .withColumn("image_id", lit("")).withColumn("cluster_id", lit(0)).limit(0)
+      .cache()
+    val sample = fitSample(assembled, Seq("image_id"), maxFit).cache()
+    val n = sample.count()
+    if (n == 0) {
+      assembled.unpersist()
+      return spark.emptyDataFrame
+        .withColumn("image_id", lit("")).withColumn("cluster_id", lit(0)).limit(0)
+    }
     val kk = math.min(k.toLong, n).toInt
     val model = new KMeans().setK(kk).setSeed(seed).setMaxIter(10)
-      .fit(assembled)
-    model.transform(assembled)
+      .fit(sample)
+    sample.unpersist()
+    val out = model.transform(assembled)
       .select(col("image_id"), col("prediction").as("cluster_id"))
+    out
   }
 
   /** Faulty-attribute selection (M12): score columns whose cluster mean
@@ -69,21 +83,34 @@ object ClusterExplainer {
     scoreCols.zip(vals).filter(_._2 > p70).map(_._1)
   }
 
+  /** Bounded assembled (features, label) frame for tree fits — same
+    * deterministic-sample policy as [[fitSample]]. */
+  private def assembleBounded(
+      labeled: DataFrame,
+      featureCols: Seq[String],
+      maxFit: Int): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    labeled
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        col("label").cast("double").as("label")): _*)
+      .orderBy(xxhash64((featureCols :+ "label").map(col): _*))
+      .limit(maxFit)
+      .select(array(featureCols.map(col): _*).as("arr"), col("label"))
+      .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
+      .toDF("features", "label")
+      .coalesce(1)
+  }
+
   /** Train a tree on labeled (valid=0 / suspicious=1) rows and extract
     * readable rules — treeToRules (SklearnDecisionTree.py:84-106). */
   def treeRules(
       labeled: DataFrame, // featureCols ++ label (0.0/1.0)
       featureCols: Seq[String],
       maxDepth: Int = 5,
-      seed: Long = 42L): Seq[String] = {
-    val spark = labeled.sparkSession
-    import spark.implicits._
-    val assembled = labeled.select(
-      array(featureCols.map(c => col(c).cast("double")): _*).as("arr"),
-      col("label").cast("double"))
-      .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
-      .toDF("features", "label")
-      .coalesce(1).cache()
+      seed: Long = 42L,
+      maxFit: Int = 20000): Seq[String] = {
+    val assembled = assembleBounded(labeled, featureCols, maxFit).cache()
     val model: DecisionTreeClassificationModel = new DecisionTreeClassifier()
       .setMaxDepth(maxDepth).setSeed(seed).fit(assembled)
     assembled.unpersist()
@@ -99,15 +126,9 @@ object ClusterExplainer {
       featureCols: Seq[String],
       numTrees: Int = 10,
       maxDepth: Int = 5,
-      seed: Long = 42L): Seq[String] = {
-    val spark = labeled.sparkSession
-    import spark.implicits._
-    val assembled = labeled.select(
-      array(featureCols.map(c => col(c).cast("double")): _*).as("arr"),
-      col("label").cast("double"))
-      .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
-      .toDF("features", "label")
-      .coalesce(1).cache()
+      seed: Long = 42L,
+      maxFit: Int = 20000): Seq[String] = {
+    val assembled = assembleBounded(labeled, featureCols, maxFit).cache()
     val model = new org.apache.spark.ml.classification.RandomForestClassifier()
       .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
       .fit(assembled)
@@ -121,15 +142,9 @@ object ClusterExplainer {
       labeled: DataFrame,
       featureCols: Seq[String],
       maxDepth: Int = 5,
-      seed: Long = 42L): Seq[String] = {
-    val spark = labeled.sparkSession
-    import spark.implicits._
-    val assembled = labeled.select(
-      array(featureCols.map(c => col(c).cast("double")): _*).as("arr"),
-      col("label").cast("double"))
-      .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
-      .toDF("features", "label")
-      .coalesce(1).cache()
+      seed: Long = 42L,
+      maxFit: Int = 20000): Seq[String] = {
+    val assembled = assembleBounded(labeled, featureCols, maxFit).cache()
     val model = new org.apache.spark.ml.classification.GBTClassifier()
       .setMaxIter(1).setMaxDepth(maxDepth).setSeed(seed)
       .fit(assembled)
@@ -146,10 +161,15 @@ object ClusterExplainer {
       faulty: DataFrame,
       scoreCols: Seq[String],
       ks: Seq[Int],
-      seed: Long = 42L): Int = {
+      seed: Long = 42L,
+      maxFit: Int = 10000): Int = {
     val spark = faulty.sparkSession
     import spark.implicits._
-    val assembled = faulty.select(array(scoreCols.map(col): _*).as("arr"))
+    val assembled = faulty
+      .select(scoreCols.map(col): _*)
+      .orderBy(xxhash64(scoreCols.map(col): _*))
+      .limit(maxFit)
+      .select(array(scoreCols.map(col): _*).as("arr"))
       .map(r => Tuple1(Vectors.dense(r.getSeq[Double](0).toArray)))
       .toDF("features")
       .coalesce(1).cache()

@@ -24,8 +24,14 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine with a zero-norm guard: a degenerate (all-zero) vector must
+    * rank LAST, not first — an unguarded divide yields NaN, and Spark's
+    * ordering puts NaN above every double, so one zero vector would be
+    * every query's rank-1 neighbor. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom > 0.0, dot(a, b) / denom).otherwise(lit(-1.0))
+  }
 
   /** Brute-force cosine top-k: crossJoin against the (small, broadcast)
     * query set, per-query window top-k with deterministic tie-break. */
@@ -99,29 +105,70 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
-  /** Embedding near-duplicate pairs: LSH bucket self-join + exact cosine
-    * verify ≥ threshold. */
+  /** Embedding near-duplicate pairs: multi-table hyperplane-LSH buckets →
+    * slim candidate self-join → exact-cosine verify ≥ threshold.
+    *
+    * Scale shape (fixes the round-1 within-bucket n² defect):
+    *  - `nPlanes` auto-scales with n (`ceil(log2(n/targetBucket))`) so the
+    *    expected bucket size stays ~targetBucket at any corpus size;
+    *    recall for real near-dups (cos ≥ threshold) is recovered with
+    *    `tables` independent hash tables: P(candidate) = 1−(1−p^b)^L,
+    *    p = 1 − acos(cos)/π per bit.
+    *  - buckets larger than `maxBucket` are dropped before the self-join
+    *    (degenerate-cluster guard, same policy as PhashDup.maxBucket) —
+    *    they can only arise from pathological mass-duplicate clusters,
+    *    which exact/minhash dedup handles first in a real pipeline.
+    *  - the self-join carries (id, table, sig) only; vectors re-join on id
+    *    for verification (payload crosses the shuffle once per side). */
   def cosineNearDupPairs(
       embeddings: DataFrame, // (vec_id, embedding)
       dim: Int,
       threshold: Double = 0.97,
-      nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes)
-    val sig = sigUdf(planes)
+      nPlanes: Int = 0, // 0 = auto-scale with corpus size
+      tables: Int = 2,
+      maxBucket: Int = 4096,
+      targetBucket: Int = 256): DataFrame = {
     val emb = embeddings
       .select(col("vec_id").as("id"), col("embedding").as("v"))
-      .withColumn("sig", sig(col("v")))
-    val l = emb.alias("l")
-    val r = emb.alias("r")
-    l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        cosine(col("l.v"), col("r.v")).as("cos"))
+    val planesPerTable =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = emb.count()
+        math.max(8, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+          / math.log(2.0)).toInt)
+      }
+    val slim = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, planesPerTable, seed = 7L + 1000L * t)
+      val sig = sigUdf(planes)
+      emb.select(col("id"), lit(t).as("t"), sig(col("v")).as("sig"))
+    }.reduce(_ unionByName _)
+    val okBuckets = slim.groupBy("t", "sig")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= maxBucket)
+      .select("t", "sig")
+    val bounded = slim.join(okBuckets, Seq("t", "sig"), "left_semi")
+    val l = bounded.alias("l")
+    val r = bounded.alias("r")
+    val cands = l.join(r,
+        col("l.t") === col("r.t") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    val a = emb.select(col("id").as("id1"), col("v").as("__v1"))
+    val b = emb.select(col("id").as("id2"), col("v").as("__v2"))
+    cands.join(a, Seq("id1")).join(b, Seq("id2"))
+      .select(col("id1"), col("id2"), cosine(col("__v1"), col("__v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
   /** Deterministic synthetic embeddings with seeded near-duplicate pairs
     * (cluster centers + noise; every 20th vector is a jittered copy of
-    * an earlier one) — fixture for the near-dup operator. */
+    * an earlier one) — fixture for the near-dup operator. Cluster noise
+    * is sized so same-cluster members land at cos ≈ 0.8 (similar but NOT
+    * near-duplicates at the 0.97 default threshold) while the seeded
+    * jittered copies sit at cos ≈ 0.9999 — round 1's tight clusters made
+    * every within-cluster pair a "near-dup" (184k pairs from 2k rows),
+    * which measured the fixture, not the operator. */
   def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 32,
       seed: Long = 42L): DataFrame = {
     import spark.implicits._
@@ -133,7 +180,7 @@ object Similarity {
       val rc = new ImageGen.Rng(seed, center.toLong, 41L)
       val base = Array.fill(dim)((rc.nextDouble() * 2 - 1).toFloat)
       val rn = new ImageGen.Rng(seed, baseId, 42L)
-      val vec = base.map(v => v + (rn.nextDouble() * 0.2 - 0.1).toFloat)
+      val vec = base.map(v => v + (rn.nextDouble() * 1.0 - 0.5).toFloat)
       val out = if (isDup) {
         val rj = new ImageGen.Rng(seed, id, 43L)
         vec.map(v => v + (rj.nextDouble() * 0.004 - 0.002).toFloat)
