@@ -22,8 +22,7 @@ object PipelineCache {
   def genCfg(n: Long): GenConfig = GenConfig(n = n)
 
   /** Per-rule score column names in the scored frame. */
-  val scoreNames: Seq[String] =
-    Scorer.ruleColumns.map(_._1) ++ Seq("score_langid", "score_ppl", "score_dup")
+  val scoreNames: Seq[String] = Scorer.scoreNames
 
   def images(spark: SparkSession, n: Long): DataFrame =
     cached(s"images/$n") { ImageGen.images(spark, genCfg(n)).cache() }
@@ -96,12 +95,13 @@ object PipelineQueries {
       PhashDup.duplicatePairs(PipelineCache.images(s, N))
         .orderBy("id1", "id2")),
 
-    // M2: langid model predictions per language
+    // M2: langid model predictions per language — native codegen'd
+    // expression (no UDF serde), same broadcast weights as the pipeline
     "qf_langid_counts" -> ((s, _) => {
       val m = PipelineCache.models(s, N)
-      val predUdf = udf((c: String) => m.langId.value.bestLang(c)._1)
       PipelineCache.images(s, N)
-        .select(predUdf(col("caption")).as("pred_lang"))
+        .select(org.apache.spark.sql.graft.Exprs
+          .langidBest(col("caption"), m.langId).as("pred_lang"))
         .groupBy("pred_lang").agg(count(lit(1)).as("n"))
         .orderBy("pred_lang")
     }),

@@ -270,14 +270,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Generic mode on a wider mixed-type table (rows-only shape check
-    // driver-side, but fully deterministic)
+    // Generic mode on a wider mixed-type table (2 numeric + 1 categorical
+    // feature; hash-verified against the DuckDB oracle)
     "q25_generic_customer" -> ((s, d) => {
       val c = Tables.customer(s, d)
         .select("c_custkey", "c_acctbal", "c_nationkey", "c_mktsegment")
       val model = graft.generic.GenericQuality.fit(c, "c_custkey")
       graft.generic.GenericQuality.withScores(c, model)
         .select(col("c_custkey"), round(col("invalidity_score"), 4).as("inval"))
+        .orderBy("c_custkey")
+    }),
+
+    // M2 multivariate: PCA reconstruction-error scorer (joint-structure
+    // anomaly detection the per-column z-score path can't express). For
+    // d=2 standardized features the eigenbasis is closed-form
+    // ((1, ±1)/√2), so the full fit+score is SQL-expressible and
+    // hash-verified against DuckDB.
+    "q26_pca_residual" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+      val st = graft.models.PcaResidual.fit(c, "c_custkey", k = 1)
+      c.select(col("c_custkey"),
+        round(graft.models.PcaResidual.scoreColumn(st), 4).as("s_pca"))
         .orderBy("c_custkey")
     })
   )
@@ -454,6 +468,51 @@ object SparkEntry {
         | LEFT JOIN f ON f.v = COALESCE(CAST(d.lang AS VARCHAR), 'NULL'))
         |SELECT doc_id, ROUND(s_num, 4) AS s_num, ROUND(s_cat, 4) AS s_cat,
         | ROUND(GREATEST(s_num, s_cat), 4) AS inval
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q25_generic_customer" ->
+      """WITH s AS (
+        |  SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS m1,
+        |         STDDEV_POP(CAST(c_acctbal AS DOUBLE)) AS sd1,
+        |         AVG(CAST(c_nationkey AS DOUBLE)) AS m2,
+        |         STDDEV_POP(CAST(c_nationkey AS DOUBLE)) AS sd2
+        |  FROM customer),
+        |f AS (SELECT c_mktsegment AS v, CAST(COUNT(*) AS DOUBLE) AS c
+        |      FROM customer GROUP BY c_mktsegment),
+        |fm AS (SELECT MAX(c) AS mc FROM f),
+        |scored AS (
+        | SELECT cu.c_custkey,
+        |  COALESCE(LEAST(1.0, GREATEST(0.0,
+        |    (ABS(CAST(cu.c_acctbal AS DOUBLE) - s.m1) / s.sd1 - 3.0) / 3.0)), 1.0) AS s1,
+        |  COALESCE(LEAST(1.0, GREATEST(0.0,
+        |    (ABS(CAST(cu.c_nationkey AS DOUBLE) - s.m2) / s.sd2 - 3.0) / 3.0)), 1.0) AS s2,
+        |  1.0 - COALESCE(f.c / fm.mc, 0.0) AS s3
+        | FROM customer cu CROSS JOIN s CROSS JOIN fm
+        | LEFT JOIN f ON f.v = COALESCE(CAST(cu.c_mktsegment AS VARCHAR), 'NULL'))
+        |SELECT c_custkey, ROUND(GREATEST(s1, s2, s3), 4) AS inval
+        |FROM scored ORDER BY c_custkey""".stripMargin,
+    "q26_pca_residual" ->
+      """WITH s AS (
+        |  SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS mx,
+        |         STDDEV_POP(CAST(c_acctbal AS DOUBLE)) AS sx,
+        |         AVG(CAST(c_nationkey AS DOUBLE)) AS my,
+        |         STDDEV_POP(CAST(c_nationkey AS DOUBLE)) AS sy,
+        |         CORR(CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)) AS r
+        |  FROM customer),
+        |z AS (
+        |  SELECT c_custkey,
+        |    (CAST(c_acctbal AS DOUBLE) - s.mx) / s.sx AS zx,
+        |    (CAST(c_nationkey AS DOUBLE) - s.my) / s.sy AS zy,
+        |    s.r AS r
+        |  FROM customer CROSS JOIN s),
+        |rr AS (
+        |  SELECT c_custkey,
+        |    ((zx*zx + zy*zy) -
+        |     (zx + (CASE WHEN r >= 0 THEN 1.0 ELSE -1.0 END) * zy)
+        |     * (zx + (CASE WHEN r >= 0 THEN 1.0 ELSE -1.0 END) * zy) / 2.0)
+        |    / (1.0 - ABS(r) + 1e-9) AS ratio
+        |  FROM z)
+        |SELECT c_custkey,
+        | ROUND(LEAST(1.0, GREATEST(0.0, (ratio - 3.0) / 6.0)), 4) AS s_pca
+        |FROM rr ORDER BY c_custkey""".stripMargin
   )
 }

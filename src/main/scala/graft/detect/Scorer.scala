@@ -45,6 +45,12 @@ object Scorer {
       .agg(expr("percentile_approx(ppl, 0.5D, 10000)").as("p50"),
         count(lit(1)).as("n"))
       .collect()
+    val (byLang, global) = referenceFromRows(perLang)
+    Models(langId, lm, global, byLang)
+  }
+
+  private def referenceFromRows(
+      perLang: Array[org.apache.spark.sql.Row]): (Map[String, Double], Double) = {
     val byLang = perLang.map(r => r.getString(0) -> r.getDouble(1)).toMap
     val global = {
       // weighted median approximation: global p50 from the dominant class
@@ -55,18 +61,38 @@ object Scorer {
       sorted.foreach { r => if (acc < totalN / 2) { res = r.getDouble(1); acc += r.getLong(2) } }
       res
     }
-    Models(langId, lm, global, byLang)
+    (byLang, global)
   }
 
-  /** Warm-start fit: reload checkpointed model state when present
-    * (the reference's pretrained-model path, DQTestToolHelper.py:109-111),
-    * else fit and checkpoint. */
-  def fitOrLoad(spark: SparkSession, images: DataFrame, checkpointDir: Option[String]): Models =
-    checkpointDir.flatMap(d => graft.models.ModelCheckpoint.load(spark, d)) match {
+  /** Recalibrate the per-language perplexity reference from the current
+    * believed-clean population of a raw-signals frame (one grouped
+    * sketch pass over `ppl_raw`/`pred_lang`) — the per-round label
+    * feedback: the reference retrains its model every iteration on the
+    * table with updated statuses (testScript.py:43 →
+    * DQTestToolHelper.py:130); here the expensive LM/langid state is
+    * reused and the reference quantiles refit. */
+  def recalibrate(rawBelievedClean: DataFrame): (Map[String, Double], Double) = {
+    val perLang = rawBelievedClean
+      .groupBy(col("pred_lang"))
+      .agg(expr("percentile_approx(ppl_raw, 0.5D, 10000)").as("p50"),
+        count(lit(1)).as("n"))
+      .collect()
+    referenceFromRows(perLang)
+  }
+
+  /** Warm-start fit: reload checkpointed model state when present AND its
+    * fingerprint matches the caller's current config (the reference's
+    * pretrained-model path, DQTestToolHelper.py:109-111), else fit and
+    * checkpoint. */
+  def fitOrLoad(spark: SparkSession, images: DataFrame, checkpointDir: Option[String],
+      fingerprint: String = ""): Models =
+    checkpointDir.flatMap(d =>
+      graft.models.ModelCheckpoint.load(spark, d, fingerprint)) match {
       case Some(m) => m
       case None =>
         val m = fit(spark, images)
-        checkpointDir.foreach(d => graft.models.ModelCheckpoint.save(spark, m, d))
+        checkpointDir.foreach(d =>
+          graft.models.ModelCheckpoint.save(spark, m, d, fingerprint))
         m
     }
 
@@ -82,38 +108,62 @@ object Scorer {
       "score_pii" -> Scrub.piiScore(cap))
   }
 
-  /** Add score_*, score_dup (via broadcast semi-join against the
-    * phash-duplicate drop set), invalidity_score (max over rules), and
-    * scrubbed_caption. Model scores evaluate one combined UDF per row
-    * (acceptedProb + perplexity + predicted lang) against broadcast
-    * state; everything else is built-in Catalyst expressions. */
-  def withScores(images: DataFrame, m: Models, dupDropIds: DataFrame): DataFrame = {
-    val refMap =
-      if (m.pplRefByLang.isEmpty) map()
-      else map(m.pplRefByLang.toSeq.sortBy(_._1)
-        .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
+  /** Score column names contributing to the combined record score. */
+  val scoreNames: Seq[String] =
+    ruleColumns.map(_._1) ++ Seq("score_langid", "score_ppl", "score_dup")
+
+  /** Raw per-row model signals — the expensive, caption-scanning pass,
+    * computed ONCE and reusable across refit rounds: heuristic rule
+    * scores, raw perplexity (`ppl_raw`), predicted language
+    * (`pred_lang`), langid score, dup flag, scrubbed caption. Model
+    * scores evaluate native Catalyst expressions (doGenCode — inside
+    * whole-stage codegen, no UDF serde). */
+  def withRawSignals(images: DataFrame, m: Models, dupDropIds: DataFrame): DataFrame = {
     val rules = ruleColumns
     val dup = broadcast(dupDropIds.withColumn("__is_dup", lit(1.0)))
-    // model scores via native Catalyst expressions (doGenCode — these
-    // stay inside whole-stage codegen, no UDF serde)
-    val withQ = rules.foldLeft(images) { case (df, (name, c)) => df.withColumn(name, c) }
-      .withColumn("__pplref",
-        coalesce(element_at(refMap, Exprs.langidBest(col("caption"), m.langId)),
-          lit(m.pplRef)))
+    rules.foldLeft(images) { case (df, (name, c)) => df.withColumn(name, c) }
+      .withColumn("pred_lang", Exprs.langidBest(col("caption"), m.langId))
+      .withColumn("ppl_raw", Exprs.perplexity(col("caption"), m.lm))
       .withColumn("score_langid", least(lit(1.0), greatest(lit(0.0),
         (lit(0.7) - Exprs.langidAcceptedProb(col("caption"), m.langId)) / lit(0.4))))
-      .withColumn("score_ppl", least(lit(1.0), greatest(lit(0.0),
-        (Exprs.perplexity(col("caption"), m.lm) / col("__pplref") - lit(2.5)) / lit(2.0))))
       .join(dup, Seq("image_id"), "left")
       .withColumn("score_dup", coalesce(col("__is_dup"), lit(0.0)))
-      .drop("__is_dup", "__pplref")
-    val allNames = rules.map(_._1) ++ Seq("score_langid", "score_ppl", "score_dup")
-    withQ
-      .withColumn("invalidity_score", greatest(allNames.map(col): _*))
-      .withColumn("scores",
-        map(allNames.flatMap(n => Seq(lit(n), col(n))): _*))
+      .drop("__is_dup")
       .withColumn("scrubbed_caption", Scrub.scrub(col("caption")))
   }
+
+  /** Finish scoring from raw signals given a (possibly per-round
+    * recalibrated) perplexity reference: score_ppl, combined
+    * invalidity_score (max over rules — M7, DQTestToolHelper.py:153-157,
+    * plus the optional confirmed-fault label offset, the reference's
+    * `+y`), and the per-rule score map. */
+  def scoresFromSignals(
+      raw: DataFrame,
+      pplRefByLang: Map[String, Double],
+      pplRefGlobal: Double,
+      labelOffset: Option[Column] = None): DataFrame = {
+    val refMap =
+      if (pplRefByLang.isEmpty) map()
+      else map(pplRefByLang.toSeq.sortBy(_._1)
+        .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
+    val withPpl = raw.withColumn("score_ppl", least(lit(1.0), greatest(lit(0.0),
+      (col("ppl_raw") / coalesce(element_at(refMap, col("pred_lang")), lit(pplRefGlobal))
+        - lit(2.5)) / lit(2.0))))
+    val base = greatest(scoreNames.map(col): _*)
+    withPpl
+      .withColumn("invalidity_score",
+        labelOffset.map(o => base + o).getOrElse(base))
+      .withColumn("scores",
+        map(scoreNames.flatMap(n => Seq(lit(n), col(n))): _*))
+  }
+
+  /** Add score_*, score_dup (via broadcast semi-join against the
+    * phash-duplicate drop set), invalidity_score (max over rules), and
+    * scrubbed_caption — single-round convenience composing
+    * [[withRawSignals]] + [[scoresFromSignals]]. */
+  def withScores(images: DataFrame, m: Models, dupDropIds: DataFrame): DataFrame =
+    scoresFromSignals(withRawSignals(images, m, dupDropIds), m.pplRefByLang, m.pplRef)
+      .drop("pred_lang", "ppl_raw")
 
   /** Keep/drop decision at a discovered threshold (>= drops — the
     * engine's standardized semantics, SURVEY.md §4). */

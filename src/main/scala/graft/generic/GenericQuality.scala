@@ -40,13 +40,21 @@ object GenericQuality {
     * levels absent from the map score as rare (freq 0). */
   final case class CategoricalStats(freq: Map[String, Double]) extends ColStats
 
-  final case class Model(cols: Map[String, ColStats]) extends Serializable
+  final case class Model(
+      cols: Map[String, ColStats],
+      pca: Option[graft.models.PcaResidual.State] = None) extends Serializable
 
   /** One global aggregation pass fitting every column's constraint state
     * (the reference trains on the whole table, DQTestToolHelper.py:130).
     * Categorical frequency tables are capped at `maxLevels` levels per
-    * column (rank by count) so broadcast size is bounded at any scale. */
-  def fit(df: DataFrame, idCol: String, maxLevels: Int = 1024): Model = {
+    * column (rank by count) so broadcast size is bounded at any scale.
+    * `multivariate = true` additionally fits the PCA reconstruction-error
+    * model over the numeric columns (the joint-structure detector the
+    * reference gets from its autoencoder/PyOD zoo — see
+    * [[graft.models.PcaResidual]]); it contributes a `score__pca`
+    * column and participates in the max-combine. */
+  def fit(df: DataFrame, idCol: String, maxLevels: Int = 1024,
+      multivariate: Boolean = false): Model = {
     val featureCols = df.schema.fields.filter(_.name != idCol)
     val (numCols, catCols) = featureCols.partition(_.dataType.isInstanceOf[NumericType])
 
@@ -79,11 +87,18 @@ object GenericQuality {
         counts.map(r => r.getString(0) -> r.getLong(1).toDouble / mx).toMap): ColStats)
     }.toMap
 
-    Model(numStats ++ catStats)
+    val pca =
+      if (!multivariate) None
+      else scala.util.Try(graft.models.PcaResidual.fit(df, idCol)).toOption
+    Model(numStats ++ catStats, pca)
   }
 
-  /** Per-feature invalidity score columns in [0,1] (M6 analog). */
+  /** Per-feature invalidity score columns in [0,1] (M6 analog); the
+    * multivariate PCA residual (when fitted) rides along as one more
+    * score column. */
   def scoreColumns(model: Model, zMax: Double = 6.0): Seq[(String, Column)] =
+    model.pca.toSeq.map(st =>
+      "score__pca" -> graft.models.PcaResidual.scoreColumn(st)) ++
     model.cols.toSeq.sortBy(_._1).map {
       case (name, NumericStats(mean, std)) =>
         val z =

@@ -53,13 +53,33 @@ object ValidationRun {
     val knownCount = known.count()
 
     // Constraint models: warm-start from the checkpoint when resuming
-    // (DQTestToolHelper.py:109-111), else fit once and checkpoint.
-    val models = Scorer.fitOrLoad(spark, images, Some(s"${cfg.outDir}/model"))
+    // (DQTestToolHelper.py:109-111), else fit once and checkpoint. The
+    // expensive caption-scanning pass (LM perplexity, langid, rules,
+    // scrub) runs ONCE into a raw-signals cache; the per-round refit
+    // below recalibrates from it without re-scanning captions.
+    val models = Scorer.fitOrLoad(spark, images, Some(s"${cfg.outDir}/model"),
+      fingerprint = s"n=${cfg.n};seed=${cfg.seed};faultPct=${cfg.faultPct};" +
+        s"scrub=${graft.scrub.Scrub.version}")
     val dupDrop = PhashDup.dropIds(images).cache()
-    val scored = Scorer.withScores(images, models, dupDrop)
-      .select(col("image_id"), col("invalidity_score"), col("scores"),
-        col("scrubbed_caption"))
+    val raw = Scorer.withRawSignals(images, models, dupDrop)
+      .select((Seq("image_id", "pred_lang", "ppl_raw", "scrubbed_caption") ++
+        Scorer.ruleColumns.map(_._1) ++ Seq("score_langid", "score_dup")).map(col): _*)
       .cache()
+
+    // Per-round model state with label feedback (the reference retrains
+    // every iteration on the updated table, testScript.py:43 →
+    // DQTestToolHelper.py:130): per-lang perplexity reference quantiles
+    // refit from the believed-clean population, and confirmed faults get
+    // the +1 label offset so they stay above threshold on re-score (the
+    // reference's `+y`, DQTestToolHelper.py:153-157).
+    val confirmedOffset =
+      when(col("status").startsWith("actualFault"), lit(1.0)).otherwise(lit(0.0))
+    def scoreRound(statuses: DataFrame): DataFrame = {
+      val stRaw = raw.join(statuses, Seq("image_id"))
+      val (byLang, global) = Scorer.recalibrate(
+        stRaw.filter(!col("status").startsWith("actualFault")))
+      Scorer.scoresFromSignals(stRaw, byLang, global, Some(confirmedOffset))
+    }
 
     // Resume: last round whose status checkpoint completed.
     val resumeFrom = (1 to cfg.rounds)
@@ -82,7 +102,7 @@ object ValidationRun {
     val knownFlag = broadcast(known.withColumn("__known", lit(1)))
     var lastThreshold = Double.NaN
     for (r <- (resumeFrom + 1) to cfg.rounds) {
-      val st = scored.join(statuses, Seq("image_id"))
+      val st = scoreRound(statuses)
       val (t, _) = Thresholds.discover(st, "invalidity_score", "status", knownCount, n)
       lastThreshold = t
       thresholds += t
@@ -152,14 +172,13 @@ object ValidationRun {
       flagged.unpersist()
     }
 
-    if (lastThreshold.isNaN && thresholds.isEmpty) {
-      // Fully resumed run: recompute the final threshold for decisions.
-      val st = scored.join(statuses, Seq("image_id"))
-      lastThreshold = Thresholds.discover(st, "invalidity_score", "status", knownCount)._1
-    }
-
-    val decisions = Scorer.withDecision(
-      scored.join(statuses, Seq("image_id")), lastThreshold)
+    // Final decisions from the final-state model (refit on the last
+    // checkpointed statuses — deterministic for fresh AND resumed runs).
+    val scoredFinal = scoreRound(statuses)
+    val tFinal = Thresholds.discover(
+      scoredFinal, "invalidity_score", "status", knownCount, n)._1
+    if (lastThreshold.isNaN) lastThreshold = tFinal
+    val decisions = Scorer.withDecision(scoredFinal, tFinal)
       .select("image_id", "decision", "invalidity_score", "scores",
         "scrubbed_caption", "status")
     RunResult(decisions, metricsHist.toSeq, thresholds.toSeq,

@@ -28,3 +28,29 @@ trait ModelState extends Serializable
 
 final case class LangIdState(model: Broadcast[LangIdModel]) extends ModelState
 final case class LMState(model: Broadcast[NGramLMModel], pplRef: Double) extends ModelState
+
+/** Named model-zoo dispatch — the Spark analog of the reference's
+  * name → estimator map (M2, DQTestToolHelper.py:104-125). The generic
+  * per-column scorer and the multivariate PCA detector register here;
+  * LangId/NGramLM participate through [[graft.detect.Scorer]] (they
+  * score text, not tabular features). */
+object ConstraintModels {
+  def registry(idCol: String): Map[String, ConstraintModel] = Map(
+    "zscore_freq" -> new GenericQualityModel(idCol),
+    "pca_residual" -> new PcaResidualModel(idCol))
+}
+
+/** Adapter exposing [[graft.generic.GenericQuality]]'s per-column
+  * z-score / rare-level scorer through the zoo interface. */
+final class GenericQualityModel(idCol: String) extends ConstraintModel {
+  override def name: String = "zscore_freq"
+  override def fit(spark: SparkSession, df: DataFrame): ModelState =
+    GenericQualityState(graft.generic.GenericQuality.fit(df, idCol))
+  override def scoreColumns(state: ModelState): Seq[(String, Column)] = state match {
+    case GenericQualityState(m) => graft.generic.GenericQuality.scoreColumns(m)
+    case other => throw new IllegalArgumentException(s"unexpected state $other")
+  }
+}
+
+final case class GenericQualityState(model: graft.generic.GenericQuality.Model)
+  extends ModelState

@@ -76,29 +76,50 @@ object Similarity {
   private def sigUdf(planes: Array[Array[Double]]) =
     udf((v: Array[Float]) => if (v == null) 0 else signatureOf(v, planes))
 
-  /** LSH-bucketed top-k: signature equi-join with multi-probe (query
-    * probes its bucket plus all 1-bit-flip neighbors), then exact cosine
-    * within candidates. Recall < 1 by construction; nPlanes and probing
-    * set the recall/cost point. */
+  /** LSH-bucketed top-k: MULTI-TABLE signature equi-join with multi-probe
+    * (each query probes its exact bucket plus all 1-bit-flip neighbors in
+    * every table), then exact cosine over the deduplicated candidates.
+    *
+    * Per-neighbor recall at bit-agreement probability p = 1 − θ/π is
+    * 1 − (1 − (p^b + b·p^(b−1)(1−p)))^L for b = nPlanes bits and
+    * L = tables; the defaults (b=10, L=4) target ≥ 0.8 for clustered
+    * corpora (neighbor cos ≥ ~0.8) while scanning ~L·(b+1)·n/2^b
+    * candidates per query (≈ 2-5% of the corpus at 10^5–10^6 rows, and a
+    * shrinking fraction as n grows). For near-uniform random vectors
+    * (neighbor cos ≈ 0.3) NO hyperplane-LSH setting beats a scan at high
+    * recall — that regime is what [[bruteForceTopK]] is for.
+    *
+    * Scale shape: the signature join carries (vec_id, table, sig) only;
+    * embedding payloads re-join once by id after candidate dedup. */
   def lshTopK(
       embeddings: DataFrame,
       queries: DataFrame,
       k: Int,
       dim: Int,
-      nPlanes: Int = 12): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes)
-    val sig = sigUdf(planes)
-    val emb = embeddings.withColumn("sig", sig(col("embedding")))
-    val probes = queries
-      .withColumn("qsig", sig(col("qvec")))
-      .withColumn("sig", explode(transform(
-        sequence(lit(0), lit(nPlanes)), // 0 = exact bucket, i>0 = flip bit i-1
-        i => when(i === 0, col("qsig"))
-          .otherwise(col("qsig").bitwiseXOR(
-            pow(lit(2.0), (i - 1).cast("double")).cast("int"))))))
+      nPlanes: Int = 10,
+      tables: Int = 4): DataFrame = {
+    val sigFns = (0 until tables).map(t =>
+      sigUdf(hyperplanes(dim, nPlanes, seed = 7L + 1000L * t)))
+    // one pass over the corpus computes all table signatures; the
+    // exploded frame is slim (id + two ints + table index)
+    val embSigs = embeddings.select(col("vec_id"),
+      posexplode(array(sigFns.map(f => f(col("embedding"))): _*)).as(Seq("t", "sig")))
+    val probeSigs = queries.select(col("query_id"),
+      posexplode(array(sigFns.map(f => f(col("qvec"))): _*)).as(Seq("t", "qsig")))
+      .select(col("query_id"), col("t"),
+        explode(transform(
+          sequence(lit(0), lit(nPlanes)), // 0 = exact bucket, i>0 = flip bit i-1
+          i => when(i === 0, col("qsig"))
+            .otherwise(col("qsig").bitwiseXOR(
+              pow(lit(2.0), (i - 1).cast("double")).cast("int"))))).as("sig"))
+    val cands = embSigs.join(broadcast(probeSigs), Seq("t", "sig"))
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    emb.join(broadcast(probes), Seq("sig"))
+    cands
+      .join(embeddings, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .withColumn("cos", cosine(col("embedding"), col("qvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -126,10 +147,10 @@ object Similarity {
       threshold: Double = 0.97,
       nPlanes: Int = 0, // 0 = auto-scale with corpus size
       tables: Int = 2,
-      maxBucket: Int = 4096,
+      maxBucket: Int = 1024,
       targetBucket: Int = 256): DataFrame = {
     val emb = embeddings
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
+      .select(col("vec_id").cast("string").as("id"), col("embedding").as("v"))
     val planesPerTable =
       if (nPlanes > 0) nPlanes
       else {
@@ -137,27 +158,22 @@ object Similarity {
         math.max(8, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
           / math.log(2.0)).toInt)
       }
+    // one 64-bit key per (table, signature); candidate generation and the
+    // degenerate-bucket cap ride the shared run-scan (Banding)
     val slim = (0 until tables).map { t =>
       val planes = hyperplanes(dim, planesPerTable, seed = 7L + 1000L * t)
       val sig = sigUdf(planes)
-      emb.select(col("id"), lit(t).as("t"), sig(col("v")).as("sig"))
+      emb.select(col("id"), xxhash64(lit(t), sig(col("v"))).as("key"))
     }.reduce(_ unionByName _)
-    val okBuckets = slim.groupBy("t", "sig")
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2 && col("c") <= maxBucket)
-      .select("t", "sig")
-    val bounded = slim.join(okBuckets, Seq("t", "sig"), "left_semi")
-    val l = bounded.alias("l")
-    val r = bounded.alias("r")
-    val cands = l.join(r,
-        col("l.t") === col("r.t") && col("l.sig") === col("r.sig") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"))
-      .distinct()
+    val cands = graft.ops.Banding.candidatePairs(slim, maxBucket)
     val a = emb.select(col("id").as("id1"), col("v").as("__v1"))
     val b = emb.select(col("id").as("id2"), col("v").as("__v2"))
     cands.join(a, Seq("id1")).join(b, Seq("id2"))
-      .select(col("id1"), col("id2"), cosine(col("__v1"), col("__v2")).as("cos"))
+      // Banding ordered the pair by STRING id; restore numeric order
+      .select(
+        least(col("id1").cast("long"), col("id2").cast("long")).as("id1"),
+        greatest(col("id1").cast("long"), col("id2").cast("long")).as("id2"),
+        cosine(col("__v1"), col("__v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -20,14 +20,26 @@ import graft.scrub.Scrub
 object StreamScore {
 
   /** Per-row scores + decision on a streaming frame (no dedup join —
-    * see [[firstSeenByPhash]]). `eventTime` column must already exist. */
+    * see [[firstSeenByPhash]]). `eventTime` column must already exist.
+    *
+    * score_ppl uses the SAME per-predicted-language reference quantiles
+    * as the batch path (Scorer.withScores) — the map literal is
+    * stream-safe, and a global-only reference would inflate score_ppl
+    * for minority languages and flip keep/drop vs batch. */
   def scoreStream(stream: DataFrame, m: Scorer.Models, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.Exprs
+    val refMap =
+      if (m.pplRefByLang.isEmpty) map()
+      else map(m.pplRefByLang.toSeq.sortBy(_._1)
+        .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
     val rules = Scorer.ruleColumns
     val withCols = rules.foldLeft(stream) { case (df, (n, c)) => df.withColumn(n, c) }
       .withColumn("score_langid", least(lit(1.0), greatest(lit(0.0),
-        (lit(0.7) - org.apache.spark.sql.graft.Exprs.langidAcceptedProb(col("caption"), m.langId)) / lit(0.4))))
+        (lit(0.7) - Exprs.langidAcceptedProb(col("caption"), m.langId)) / lit(0.4))))
       .withColumn("score_ppl", least(lit(1.0), greatest(lit(0.0),
-        (org.apache.spark.sql.graft.Exprs.perplexity(col("caption"), m.lm) / lit(m.pplRef) - lit(2.5)) / lit(2.0))))
+        (Exprs.perplexity(col("caption"), m.lm) /
+          coalesce(element_at(refMap, Exprs.langidBest(col("caption"), m.langId)),
+            lit(m.pplRef)) - lit(2.5)) / lit(2.0))))
     val names = rules.map(_._1) ++ Seq("score_langid", "score_ppl")
     withCols
       .withColumn("invalidity_score", greatest(names.map(col): _*))

@@ -24,4 +24,27 @@ class CheckpointSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(s1 == s2)
   }
+
+  test("fingerprint or version mismatch forces a refit (no stale model reuse)") {
+    val dir = "target/graft-model-ckpt-fp"
+    PipelineLoop.deleteRecursively(new java.io.File(dir))
+    val images = PipelineCache.images(spark, 500L)
+    val m = PipelineCache.models(spark, 500L)
+    ModelCheckpoint.save(spark, m, dir, fingerprint = "n=500;seed=42")
+    assert(ModelCheckpoint.load(spark, dir, fingerprint = "n=500;seed=42").isDefined)
+    assert(ModelCheckpoint.load(spark, dir, fingerprint = "n=500;seed=43").isEmpty,
+      "changed config must invalidate the checkpoint")
+    assert(images.count() == 500L)
+  }
+
+  test("corrupt checkpoint bytes degrade to None, not an exception") {
+    import spark.implicits._
+    val dir = "target/graft-model-ckpt-bad"
+    PipelineLoop.deleteRecursively(new java.io.File(dir))
+    graft.engine.TableIO.createOrReplace(
+      Seq((ModelCheckpoint.FormatVersion, "fp", Array[Byte](1, 2, 3)))
+        .toDF("version", "fingerprint", "state"),
+      dir)
+    assert(ModelCheckpoint.load(spark, dir, fingerprint = "fp").isEmpty)
+  }
 }

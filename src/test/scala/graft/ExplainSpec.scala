@@ -1,4 +1,5 @@
 package graft
+// (50k-row bounded-fit coverage added round 2)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -34,6 +35,20 @@ class ExplainSpec extends AnyFunSuite {
     val df = (1 to 20).map(_ => (1.0, 0.0, 0.05)).toDF("a", "b", "c")
     val attrs = ClusterExplainer.faultyAttributes(df, Seq("a", "b", "c"))
     assert(attrs == Seq("a"))
+  }
+
+  test("clusterFaulty at 50k rows: bounded fit, full parallel assignment") {
+    val big = spark.range(0, 50000).select(
+      concat(lit("im"), col("id")).as("image_id"),
+      pmod(col("id"), lit(2)).cast("double").as("score_a"),
+      (lit(1.0) - pmod(col("id"), lit(2)).cast("double")).as("score_b"))
+    val t0 = System.nanoTime()
+    val out = ClusterExplainer.clusterFaulty(
+      big, Seq("score_a", "score_b"), k = 2, maxFit = 2000)
+    assert(out.count() == 50000L, "every faulty row must get a cluster id")
+    assert(out.select("cluster_id").distinct().count() == 2L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120.0, s"50k clustering took ${sec}s — fit not bounded?")
   }
 
   test("end-to-end explain on the scored pipeline emits rules per cluster") {

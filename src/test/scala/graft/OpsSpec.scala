@@ -45,6 +45,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram jaccard: hot-shingle corpus stays bounded, rare pairs still found") {
+    // 80% of the corpus is one boilerplate caption (every shingle corpus-hot,
+    // df=400) — the round-1 n² landmine. The capped run-scan bounds the
+    // candidate volume; the seeded rare near-dup pairs must still be found.
+    val hot = "a photo of a dog on the beach at sunset"
+    val rows = (0 until 400).map(i => (f"hot$i%04d", hot)) ++
+      (0 until 100).map { i =>
+        val base = s"unique caption number $i with words alpha$i beta$i gamma$i delta$i"
+        (f"uni$i%04d", base)
+      } ++
+      (0 until 5).map(i =>
+        (f"dup$i%04d", s"unique caption number $i with words alpha$i beta$i gamma$i delta$i"))
+    val df = rows.toDF("image_id", "caption")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.ngramJaccardPairs(df, "image_id", "caption", maxDf = 64)
+      .collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val found = pairs.map(r => (r.getString(0), r.getString(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(found.contains((f"dup$i%04d", f"uni$i%04d")) ||
+        found.contains((f"uni$i%04d", f"dup$i%04d")), s"missed rare dup $i")
+    }
+    // hot-group pairs bounded by the cap: ≤ maxDf²/2, not 400²/2
+    assert(pairs.length <= 64 * 64 / 2 + 100, s"pair blowup: ${pairs.length}")
+    assert(sec < 60.0, s"hot corpus took ${sec}s")
+  }
+
   test("exact dedup keeps min id per key") {
     val df = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("id", "k")
     val kept = Dedup.exactKeepFirst(df, "k", "id").collect()
@@ -78,7 +105,7 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("LSH ANN finds the self-neighbor and has decent recall") {
+  test("LSH ANN finds the self-neighbor on the driver embeddings table") {
     val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 3)
@@ -89,6 +116,26 @@ class OpsSpec extends AnyFunSuite {
       assert(rows.nonEmpty)
       assert(rows.minBy(_.getInt(1)).getLong(2) == q)
     }
+  }
+
+  test("LSH ANN recall gate: >= 4 of top-5 vs brute force on clustered corpus") {
+    // the driver table is near-uniform random (neighbor cos ≈ 0.33 — the
+    // regime where no LSH beats a scan; see lshTopK doc); the recall gate
+    // runs on the clustered fixture where ANN earns its keep
+    val emb = Similarity.synthEmbeddings(spark, 2000L).cache()
+    val queries = emb.filter(col("vec_id").isin(0L, 7L, 42L, 101L, 333L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSet = Similarity.lshTopK(emb, queries, 5, dim = 32)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0L, 7L, 42L, 101L, 333L).foreach { q =>
+      val hits = brute.filter(_._1 == q).count(lshSet.contains)
+      assert(hits >= 4, s"query $q recall $hits/5 below gate")
+    }
+    emb.unpersist()
   }
 
   test("langid heuristic on clear samples") {

@@ -60,6 +60,13 @@ class PipelineSpec extends AnyFunSuite {
     val tprs = res.metrics.map(_.truePositiveRate)
     assert(tprs.last >= tprs.head - 1e-9, s"TPR fell: $tprs")
     assert(graft.eval.Metrics.truePositiveGrowthRate(tprs) >= -1e-9)
+    // per-round refit with label feedback: confirmed faults carry the +1
+    // label offset in re-scoring (the reference's +y,
+    // DQTestToolHelper.py:153-157), so final scores exceed 1.0 for them —
+    // evidence that scores CHANGE across rounds rather than being frozen
+    val maxScore = res.decisions.agg(max("invalidity_score")).head().getDouble(0)
+    assert(maxScore > 1.0, s"no label-offset rescoring visible, max=$maxScore")
+    assert(res.thresholds.size == 3)
     // resume: re-running with the same outDir skips all rounds and
     // reproduces the same metrics history
     val res2 = ValidationRun.run(spark, cfg)

@@ -33,13 +33,19 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("stream_scores").collect()
     assert(got.length == 500)
     // parity vs the batch path (minus the dup join, which is stateful
-    // in streaming): same rows -> same scrubbed caption and score
+    // in streaming): same rows -> same scrubbed caption AND the same
+    // invalidity score (per-predicted-language ppl reference on both
+    // surfaces; empty dup set makes score_dup = 0 on the batch side)
     val batch = graft.detect.Scorer.withScores(
       batchImages, models, spark.emptyDataset[String].toDF("image_id"))
-      .select(col("image_id"), col("scrubbed_caption")).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .select(col("image_id"), col("scrubbed_caption"), col("invalidity_score"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
     got.foreach { r =>
-      assert(r.getString(3) == batch(r.getString(0)), s"scrub mismatch ${r.getString(0)}")
+      val (expScrub, expScore) = batch(r.getString(0))
+      assert(r.getString(3) == expScrub, s"scrub mismatch ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - expScore) < 1e-12,
+        s"score mismatch ${r.getString(0)}: stream=${r.getDouble(2)} batch=$expScore")
     }
     // drops present (seeded faults score >= 0.5)
     assert(got.count(_.getString(1) == "drop") > 0)
