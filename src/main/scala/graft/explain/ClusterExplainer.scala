@@ -225,8 +225,14 @@ object ClusterExplainer {
     val normal = scored.filter(col("invalidity_score") <= normalThreshold)
       .limit(2000).cache() // bounded sample for tree training
     val clusters = clusterFaulty(faulty, scoreCols, k).cache()
-    val rules = clusters.select("cluster_id").distinct().as[Int].collect().sorted
-      .flatMap { cid =>
+    // Per-cluster tree fits are independent tiny MLlib jobs; run them as
+    // CONCURRENT Spark actions so their fixed scheduling latency overlaps
+    // (results are deterministic per cluster and re-ordered by id below).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cids = clusters.select("cluster_id").distinct().as[Int].collect().sorted
+    val futures = cids.toSeq.map { cid =>
+      Future {
         val clusterRows = faulty.join(
           clusters.filter(col("cluster_id") === cid), Seq("image_id"), "left_semi")
         val labeled = normal.select((scoreCols.map(col) :+ lit(0.0).as("label")): _*)
@@ -234,7 +240,11 @@ object ClusterExplainer {
             clusterRows.select((scoreCols.map(col) :+ lit(1.0).as("label")): _*))
         treeRules(labeled, scoreCols).map(r => (cid, r))
       }
+    }
+    val rules = Await.result(
+      Future.sequence(futures), scala.concurrent.duration.Duration(600, "s"))
+      .flatten.sortBy(identity)
     faulty.unpersist(); normal.unpersist(); clusters.unpersist()
-    spark.createDataset(rules.toSeq).toDF("cluster_id", "rule")
+    spark.createDataset(rules).toDF("cluster_id", "rule")
   }
 }

@@ -134,30 +134,42 @@ object GenericQuality {
       decisions: DataFrame, // idCol, invalidity_score, decision
       rounds: Seq[RoundResult])
 
-  /** The reference CLI harness loop (testScript.py:29-46): score →
-    * threshold (known-fault calibrated + clamp) → suspicious → oracle
-    * confirms suspicious∩known → metrics per round. Statuses are carried
-    * as a DataFrame between rounds (no per-row UPDATEs). */
+  /** The reference CLI harness loop (testScript.py:29-46): RETRAIN on the
+    * table with updated statuses (DQTestToolHelper.py:130 — the model is
+    * refit every round on the believed-clean population), score with the
+    * confirmed-fault label offset (the reference's `+y`,
+    * DQTestToolHelper.py:153-157), threshold (known-fault calibrated +
+    * clamp) → suspicious → oracle confirms suspicious∩known → metrics
+    * per round. Statuses are carried as a DataFrame between rounds (no
+    * per-row UPDATEs). */
   def run(
       df: DataFrame,
       idCol: String,
       knownFaultIds: DataFrame, // single column = idCol
       rounds: Int = 3): Result = {
-    val model = fit(df, idCol)
-    val scored = withScores(df, model)
-      .select(col(idCol), col("invalidity_score")).cache()
-    val n = scored.count()
+    val cached = df.cache()
+    val n = cached.count()
     val known = broadcast(
       knownFaultIds.select(col(idCol)).withColumn("__known", lit(1)))
     val knownCount = knownFaultIds.count()
 
-    var statuses = scored.select(col(idCol), lit("clean").as("status"))
+    val confirmed = col("status").startsWith("actualFault")
+    def scoreRound(statuses: DataFrame): DataFrame = {
+      val believedClean = cached.join(
+        statuses.filter(!confirmed).select(idCol), Seq(idCol), "left_semi")
+      val model = fit(believedClean, idCol)
+      withScores(cached, model)
+        .select(col(idCol), col("invalidity_score"))
+        .join(statuses, Seq(idCol))
+        .withColumn("invalidity_score",
+          col("invalidity_score") + when(confirmed, lit(1.0)).otherwise(lit(0.0)))
+    }
+
+    var statuses = cached.select(col(idCol), lit("clean").as("status"))
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundResult]
-    var lastT = Double.NaN
     for (r <- 1 to rounds) {
-      val st = scored.join(statuses, Seq(idCol))
+      val st = scoreRound(statuses)
       val (t, _) = Thresholds.discover(st, "invalidity_score", "status", knownCount, n)
-      lastT = t
       val flagged = st.join(known, Seq(idCol), "left")
         .withColumn("is_susp", col("invalidity_score") >= t)
         .withColumn("is_known", col("__known").isNotNull)
@@ -194,8 +206,14 @@ object GenericQuality {
         .localCheckpoint(true) // cut lineage so round plans don't compound
       flagged.unpersist()
     }
-    val decisions = scored.withColumn("decision",
-      when(col("invalidity_score") >= lastT, "drop").otherwise("keep"))
+    // final decisions from the final-state model (refit on the last
+    // statuses), mirroring ValidationRun
+    val finalScored = scoreRound(statuses)
+    val tFinal = Thresholds.discover(
+      finalScored, "invalidity_score", "status", knownCount, n)._1
+    val decisions = finalScored.withColumn("decision",
+      when(col("invalidity_score") >= tFinal, "drop").otherwise("keep"))
+      .select(col(idCol), col("invalidity_score"), col("decision"))
     Result(decisions, results.toSeq)
   }
 

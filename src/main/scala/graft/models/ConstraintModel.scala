@@ -37,7 +37,8 @@ final case class LMState(model: Broadcast[NGramLMModel], pplRef: Double) extends
 object ConstraintModels {
   def registry(idCol: String): Map[String, ConstraintModel] = Map(
     "zscore_freq" -> new GenericQualityModel(idCol),
-    "pca_residual" -> new PcaResidualModel(idCol))
+    "pca_residual" -> new PcaResidualModel(idCol),
+    "mahalanobis" -> new MahalanobisModel(idCol))
 }
 
 /** Adapter exposing [[graft.generic.GenericQuality]]'s per-column

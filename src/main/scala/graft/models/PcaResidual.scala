@@ -36,7 +36,8 @@ object PcaResidual {
       means: Array[Double],
       stds: Array[Double],
       components: Array[Array[Double]], // top-k eigenvectors (rows), unit norm
-      tailVariance: Double) // sum of discarded eigenvalues
+      tailVariance: Double, // sum of discarded eigenvalues
+      eigenvalues: Array[Double] = Array.empty) // λ per kept component
     extends ModelState
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
@@ -159,8 +160,39 @@ object PcaResidual {
 
     State(keep.map(numeric), means = keep.map(i => means(i)).toArray,
       stds = keep.map(i => stds(i)).toArray,
-      components = components, tailVariance = tail)
+      components = components, tailVariance = tail,
+      eigenvalues = Array.tabulate(kk)(p => math.max(eigVals(order(p)), 0.0)))
   }
+
+  /** Squared Mahalanobis distance of the z-scored row divided by the
+    * model dimension (expected value 1 for conforming rows):
+    * Σ_p proj_p²/λ_p over the kept components plus the residual energy
+    * over the discarded mass — the MCD-style zoo member
+    * (DQTestToolHelper.py:107 lists PyOD MCD; this is its moment-based
+    * analog). Uses the same (r−3)/6 clamp. */
+  def mahalanobisRatio(st: State, eps: Double = 1e-9): Column = {
+    val z: Seq[Column] = st.cols.indices.map { i =>
+      coalesce((col(st.cols(i)).cast("double") - lit(st.means(i))) / lit(st.stds(i)),
+        lit(0.0))
+    }
+    val norm2 = z.map(c => c * c).reduce(_ + _)
+    val projTerms = st.components.indices.map { p =>
+      val v = st.components(p)
+      val proj = z.indices.map(i => z(i) * lit(v(i))).reduce(_ + _)
+      (proj * proj, lit(st.eigenvalues(p) + eps))
+    }
+    val kept = projTerms.map { case (p2, l) => p2 / l }.reduce(_ + _)
+    val keptEnergy = projTerms.map(_._1).reduce(_ + _)
+    // residual directions contribute their energy / mean tail eigenvalue
+    val dTail = st.cols.size - st.components.length
+    val tailTerm =
+      if (dTail <= 0) lit(0.0)
+      else (norm2 - keptEnergy) / lit(st.tailVariance / dTail + eps)
+    (kept + tailTerm) / lit(st.cols.size.toDouble)
+  }
+
+  def mahalanobisScore(st: State): Column =
+    least(lit(1.0), greatest(lit(0.0), (mahalanobisRatio(st) - lit(3.0)) / lit(6.0)))
 
   /** Squared reconstruction residual of the z-scored row, normalized by
     * the discarded eigenvalue mass (expected residual energy ≈ 1 for
@@ -193,6 +225,19 @@ final class PcaResidualModel(idCol: String) extends ConstraintModel {
     PcaResidual.fit(df, idCol)
   override def scoreColumns(state: ModelState): Seq[(String, Column)] = state match {
     case st: PcaResidual.State => Seq("score__pca" -> PcaResidual.scoreColumn(st))
+    case other => throw new IllegalArgumentException(s"unexpected state $other")
+  }
+}
+
+/** Mahalanobis-distance zoo member (PyOD MCD analog) — same fitted
+  * state, distance over kept components + residual mass. */
+final class MahalanobisModel(idCol: String) extends ConstraintModel {
+  override def name: String = "mahalanobis"
+  override def fit(spark: SparkSession, df: DataFrame): ModelState =
+    PcaResidual.fit(df, idCol)
+  override def scoreColumns(state: ModelState): Seq[(String, Column)] = state match {
+    case st: PcaResidual.State =>
+      Seq("score__maha" -> PcaResidual.mahalanobisScore(st))
     case other => throw new IllegalArgumentException(s"unexpected state $other")
   }
 }

@@ -66,12 +66,24 @@ class PcaSpec extends AnyFunSuite {
     assert(a >= 0.9, s"joint anomaly must drive the combined score, got $a")
   }
 
+  test("mahalanobis variant catches the joint anomaly too") {
+    val rows = (0 until 2000).map { i =>
+      val x = (i % 100).toDouble
+      (f"r$i%04d", x, x + (i % 7) * 0.01)
+    } :+ (("anomaly", 10.0, 90.0))
+    val df = rows.toDF("id", "x", "y")
+    val st = PcaResidual.fit(df, "id")
+    val s = df.select(col("id"), PcaResidual.mahalanobisScore(st).as("s"))
+      .filter(col("id") === "anomaly").select("s").head().getDouble(0)
+    assert(s >= 0.9, s"mahalanobis should catch it, got $s")
+  }
+
   test("model zoo registry: every registered model fits and scores") {
     val df = (0 until 200).map(i =>
       (f"id$i%03d", i.toDouble, (i % 5).toString, i.toDouble + 0.001 * (i % 3)))
       .toDF("id", "x", "cat", "y")
     val reg = ConstraintModels.registry("id")
-    assert(reg.keySet == Set("zscore_freq", "pca_residual"))
+    assert(reg.keySet == Set("zscore_freq", "pca_residual", "mahalanobis"))
     reg.foreach { case (name, model) =>
       val st = model.fit(spark, df)
       val cols = model.scoreColumns(st)
