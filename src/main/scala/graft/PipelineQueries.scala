@@ -171,6 +171,14 @@ object PipelineQueries {
         .orderBy("image_id")
     }),
 
+    // Multimodal: perceptual hash computed from the actual pixels (the
+    // input-side producer for the phash column PhashDup consumes)
+    "qf_phash_compute" -> ((s, _) => {
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(200L).copy(withBytes = true))
+      graft.ops.Multimodal.computePhash(imgs).toDF()
+        .orderBy("image_id")
+    }),
+
     // Multimodal: real resize (Graphics2D) + re-encode
     "qf_image_resize" -> ((s, _) => {
       val imgs = ImageGen.images(s, PipelineCache.genCfg(100L).copy(withBytes = true))

@@ -62,7 +62,7 @@ object Profile {
         .cache()
       s.count(); s
     }
-    val t = timed("threshold (exact pctile)") {
+    val t = timed("threshold (approx sketch)") {
       Thresholds.discover(scored.withColumn("status", lit("clean")),
         "invalidity_score", "status", n / 20, n)._1
     }

@@ -73,19 +73,29 @@ object GenericQuality {
         }.toMap
       }
 
-    val catStats: Map[String, ColStats] = catCols.map { f =>
-      // one shuffle per categorical column over (value -> count); at
-      // scale these run as narrow hash-aggs with map-side combine
-      val counts = df
-        .select(coalesce(col(f.name).cast(StringType), lit("NULL")).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("v"))
-        .limit(maxLevels)
-        .collect()
-      val mx = if (counts.isEmpty) 1.0 else counts.head.getLong(1).toDouble
-      f.name -> (CategoricalStats(
-        counts.map(r => r.getString(0) -> r.getLong(1).toDouble / mx).toMap): ColStats)
-    }.toMap
+    val catStats: Map[String, ColStats] =
+      if (catCols.isEmpty) Map.empty
+      else {
+        // ONE shuffle for ALL categorical columns (a wide table would
+        // otherwise pay one full-scan job per column): explode each row
+        // into (column, value) pairs, count with map-side combine, rank
+        // within column, cap at maxLevels
+        import org.apache.spark.sql.expressions.Window
+        val pairs = df.select(explode(map(catCols.flatMap(f =>
+          Seq(lit(f.name),
+            coalesce(col(f.name).cast(StringType), lit("NULL")))): _*))
+          .as(Seq("c", "v")))
+        val w = Window.partitionBy("c").orderBy(col("cnt").desc, col("v"))
+        val rows = pairs.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= maxLevels)
+          .collect()
+        rows.groupBy(_.getString(0)).map { case (cname, rs) =>
+          val mx = rs.map(_.getLong(2)).max.toDouble
+          cname -> (CategoricalStats(
+            rs.map(r => r.getString(1) -> r.getLong(2).toDouble / mx).toMap): ColStats)
+        }
+      }
 
     val pca =
       if (!multivariate) None

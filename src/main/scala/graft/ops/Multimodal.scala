@@ -99,6 +99,64 @@ object Multimodal {
       }
   }
 
+  final case class PhashRow(image_id: String, phash: Long, decode_ok: Boolean)
+
+  /** Perceptual hash computed from the ACTUAL pixels (average-hash /
+    * aHash): decode → bilinear resize to 8×8 → grayscale → threshold at
+    * the mean → 64-bit fingerprint. Small pixel perturbations (lossy
+    * re-encode, mild noise) flip few bits; unrelated images land ~32
+    * bits apart — the input-side producer for the `phash` column the
+    * banding dedup consumes ([[graft.discovery.PhashDup]]) when a table
+    * arrives without precomputed hashes. Corrupt payloads yield
+    * decode_ok=false with phash 0, never a task failure. */
+  def computePhash(images: DataFrame, idCol: String = "image_id",
+      bytesCol: String = "bytes"): Dataset[PhashRow] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) PhashRow(id, 0L, decode_ok = false)
+            else PhashRow(id, phash64(img), decode_ok = true)
+          } catch { case _: Exception => PhashRow(id, 0L, decode_ok = false) }
+        }
+      }
+  }
+
+  /** 8×8 average-hash of a decoded image (scalar; see [[computePhash]]). */
+  def phash64(img: java.awt.image.BufferedImage): Long = {
+    val side = 8
+    val small = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = small.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g2.drawImage(img, 0, 0, side, side, null)
+    g2.dispose()
+    val gray = new Array[Int](side * side)
+    var i = 0
+    var sum = 0L
+    while (i < side * side) {
+      val p = small.getRGB(i % side, i / side)
+      // ITU-R 601 luma, integer arithmetic
+      val y = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+        114 * (p & 0xff)) / 1000
+      gray(i) = y
+      sum += y
+      i += 1
+    }
+    val mean = sum / (side * side)
+    var h = 0L
+    i = 0
+    while (i < side * side) {
+      if (gray(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   /** Real resize (Graphics2D bilinear) + re-encode to PNG. */
   def resizeImages(images: DataFrame, outW: Int, outH: Int): Dataset[ResizedImage] = {
     val spark = images.sparkSession

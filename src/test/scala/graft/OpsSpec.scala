@@ -193,6 +193,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pixel phash: stable under lossy re-encode, far for unrelated images") {
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos); baos.toByteArray
+    }
+    def gradient(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = ((x * 4 + seed * 37) % 256 + (y * 4) % 256) / 2
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val png = encode(gradient(0), "png")
+    val jpg = encode(gradient(0), "jpg") // lossy re-encode of the SAME pixels
+    val other = encode(gradient(3), "png")
+    val df = Seq(("a", png), ("b", jpg), ("c", other), ("bad", Array[Byte](9)))
+      .toDF("image_id", "bytes")
+    val got = Multimodal.computePhash(df).collect()
+      .map(r => r.image_id -> r).toMap
+    assert(got("a").decode_ok && got("b").decode_ok && got("c").decode_ok)
+    assert(!got("bad").decode_ok && got("bad").phash == 0L)
+    val dSame = java.lang.Long.bitCount(got("a").phash ^ got("b").phash)
+    val dDiff = java.lang.Long.bitCount(got("a").phash ^ got("c").phash)
+    assert(dSame <= 6, s"lossy re-encode moved the hash $dSame bits")
+    assert(dDiff >= 12, s"unrelated images too close: $dDiff bits")
+  }
+
+  test("banding candidate generation uses exactly one shuffle plus the pair distinct") {
+    val keyed = (0 until 100).map(i => (f"d$i%03d", (i % 10).toLong))
+      .toDF("id", "key")
+    val plan = graft.ops.Banding.candidatePairs(keyed, 16)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"payload self-join regression? plan:\n$plan")
+  }
+
   test("multimodal: frame sampling takes every k-th fixed-size frame") {
     val df = Seq(("v", Array.tabulate(1024)(_.toByte))).toDF("id", "bytes")
     val frames = Multimodal.videoFrameSample(df, "id", "bytes", frameSize = 256, every = 2)
