@@ -281,6 +281,22 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Broadcast-join chain across the small dimension tables (supplier ⋈
+    // nation ⋈ region): the classic star-schema shape — both dims must
+    // broadcast, never shuffle the fact side (PlanSpec gates q18; same
+    // planner behavior applies here)
+    "q27_supplier_region" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
     // M2 multivariate: PCA reconstruction-error scorer (joint-structure
     // anomaly detection the per-column z-score path can't express). For
     // d=2 standardized features the eigenbasis is closed-form
@@ -490,6 +506,12 @@ object SparkEntry {
         | LEFT JOIN f ON f.v = COALESCE(CAST(cu.c_mktsegment AS VARCHAR), 'NULL'))
         |SELECT c_custkey, ROUND(GREATEST(s1, s2, s3), 4) AS inval
         |FROM scored ORDER BY c_custkey""".stripMargin,
+    "q27_supplier_region" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q26_pca_residual" ->
       """WITH s AS (
         |  SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS mx,

@@ -21,6 +21,10 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
 }
 
 /** Iceberg-shaped table IO over parquet directories: createOrReplace /

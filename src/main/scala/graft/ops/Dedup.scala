@@ -147,12 +147,12 @@ object Dedup {
     val withSh = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    // band keys in one scalar pass (see minhashBandKeys); key collisions
-    // can only merge buckets (extra candidates, verified away below),
-    // never lose one
-    val keysOf = udf((t: String) => minhashBandKeys(t, shingleK, numHashes, bands))
+    // band keys in one scalar pass via the native codegen'd expression
+    // (see minhashBandKeys); key collisions can only merge buckets
+    // (extra candidates, verified away below), never lose one
     val banded = df.select(col(idCol).as("id"),
-      explode(keysOf(col(textCol))).as("key"))
+      explode(org.apache.spark.sql.graft.Exprs.minhashBandKeys(
+        col(textCol), shingleK, numHashes, bands)).as("key"))
     verifyJaccard(Banding.candidatePairs(banded, maxBucket), withSh, jaccardThreshold)
   }
 
@@ -186,10 +186,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sim = udf((s: String) => simhash64(s))
-    val fp = df.select(col(idCol).as("image_id"), sim(col(textCol)).as("phash"))
+    val fp = df.select(col(idCol).as("image_id"),
+      org.apache.spark.sql.graft.Exprs.simhash64(col(textCol)).as("phash"))
     graft.discovery.PhashDup.duplicatePairs(fp, maxHamming = maxHamming)
-      .withColumnRenamed("id1", "id1").withColumnRenamed("id2", "id2")
   }
 
   /** N-gram Jaccard pair verification over banding candidates — the

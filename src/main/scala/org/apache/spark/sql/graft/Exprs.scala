@@ -94,6 +94,46 @@ object Exprs {
     override def prettyName: String = "hamming64"
   }
 
+  /** 64-bit SimHash fingerprint of a text (token-vote hashing — see
+    * graft.ops.Dedup.simhash64). */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      graft.ops.Dedup.simhash64(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.ops.Dedup.simhash64($c.toString());")
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_simhash64"
+  }
+
+  /** MinHash-LSH band keys of a text: one 64-bit bucket key per band,
+    * whole signature computed in a single scalar pass (see
+    * graft.ops.Dedup.minhashBandKeys for why this beats nested
+    * higher-order functions). */
+  case class MinhashBandKeys(child: Expression, shingleK: Int,
+      numHashes: Int, bands: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        graft.ops.Dedup.minhashBandKeys(
+          v.asInstanceOf[UTF8String].toString, shingleK, numHashes, bands))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray(graft.ops.Dedup.minhashBandKeys(
+           |    $c.toString(), $shingleK, $numHashes, $bands));""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_minhash_bands"
+  }
+
   // ---- Column-level API -------------------------------------------------
   def langidAcceptedProb(c: Column, bc: Broadcast[LangIdModel]): Column =
     Bridge.column(LangIdAcceptedProb(Bridge.expression(c), bc))
@@ -107,6 +147,12 @@ object Exprs {
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(Hamming64(Bridge.expression(a), Bridge.expression(b)))
 
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def minhashBandKeys(c: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
+    Bridge.column(MinhashBandKeys(Bridge.expression(c), shingleK, numHashes, bands))
+
   /** Register the SQL surface: hamming64 plus model-bound functions
     * (graft_langid / graft_accepted_prob / graft_perplexity). */
   def registerSql(
@@ -114,6 +160,7 @@ object Exprs {
       langId: Broadcast[LangIdModel],
       lm: Broadcast[NGramLMModel]): Unit = {
     Bridge.register(spark, "hamming64", es => Hamming64(es(0), es(1)))
+    Bridge.register(spark, "graft_simhash64", es => SimHash64(es.head))
     Bridge.register(spark, "graft_accepted_prob", es => LangIdAcceptedProb(es.head, langId))
     Bridge.register(spark, "graft_langid", es => LangIdBest(es.head, langId))
     Bridge.register(spark, "graft_perplexity", es => Perplexity(es.head, lm))

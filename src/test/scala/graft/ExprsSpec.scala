@@ -70,6 +70,31 @@ class ExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 / minhash band-key expressions: scalar parity + null + codegen") {
+    val texts = Seq("a photo of a dog on the beach",
+      "the same words the same words the same words", "")
+    val df = texts.toDF("t")
+    val rows = df.select(col("t"),
+      Exprs.simhash64(col("t")).as("sh"),
+      Exprs.minhashBandKeys(col("t"), 3, 64, 16).as("mk")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == graft.ops.Dedup.simhash64(r.getString(0)))
+      assert(r.getSeq[Long](2) ==
+        graft.ops.Dedup.minhashBandKeys(r.getString(0), 3, 64, 16).toSeq)
+    }
+    val nullRow = Seq[(String, Int)]((null, 1)).toDF("t", "x")
+      .select(Exprs.simhash64(col("t")), Exprs.minhashBandKeys(col("t"), 3, 64, 16))
+      .head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+    // local Seq relations constant-fold away (ConvertToLocalRelation);
+    // a range source keeps the expression in a codegen'd Project
+    val plan = spark.range(10).selectExpr("cast(id as string) as t")
+      .select(Exprs.simhash64(col("t")).as("s"))
+      .filter(col("s") =!= 0L).queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_simhash64")), plan)
+  }
+
   test("SQL registration: functions callable from spark.sql") {
     Exprs.registerSql(spark, langIdB, lmB)
     val out = spark.sql(

@@ -75,6 +75,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(res2.decisions.count() == 1000L)
   }
 
+  test("10-round loop matches the reference harness iteration count (testScript.py:29)") {
+    val dir = "target/graft-test-loop10"
+    PipelineLoop.deleteRecursively(new java.io.File(dir))
+    val res = ValidationRun.run(spark,
+      ValidationRun.RunConfig(n = 400L, rounds = 10, outDir = dir))
+    assert(res.metrics.size == 10)
+    val tprs = res.metrics.map(_.truePositiveRate)
+    assert(tprs.last >= tprs.head - 1e-9, s"TPR fell across 10 rounds: $tprs")
+    assert(graft.eval.Metrics.truePositiveGrowthRate(tprs) >= -1e-9)
+    // every round left its checkpoint triple
+    (1 to 10).foreach { r =>
+      assert(new java.io.File(s"$dir/statuses/round=$r").exists(), s"round $r")
+    }
+  }
+
   test("per-partition lineage rows recorded") {
     val dir = "target/graft-test-loop"
     val lineage = spark.read.parquet(s"$dir/lineage/round=1")
