@@ -15,10 +15,17 @@ import graft.synth.{GenConfig, ImageGen}
   *
   * SPARK_GRAFT_CPUS sets the high level (default 32); low = max(1, N/4).
   * SPARK_GRAFT_BENCH_IMAGES sets the synthetic pipeline row count.
+  *
+  * Each parallelism level runs in a FRESH subprocess JVM
+  * ([[BenchLevel]]): with both levels in one JVM, the second session
+  * inherits the first's heap fragmentation / GC state and its score
+  * phase was observed to swing 2× between otherwise identical runs —
+  * exactly the noise the efficiency ratio must not contain. Falls back
+  * to in-process measurement if spawning fails.
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private[graft] def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -51,7 +58,7 @@ object Bench {
   /** One full pipeline pass: fit models (constant driver+1 shuffle cost)
     * then the partition-parallel score → dedup-join → threshold →
     * decide phase. Returns (fitSec, scoreSec). */
-  private def pipelineOnce(spark: SparkSession, n: Long, cpus: Int): (Double, Double) = {
+  private[graft] def pipelineOnce(spark: SparkSession, n: Long, cpus: Int): (Double, Double) = {
     // Fixed partition count at BOTH parallelism levels: identical input
     // layout, only the executor-thread count differs (the N vs 4N
     // evidence must not be confounded by different splits).
@@ -78,6 +85,62 @@ object Bench {
     ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
+  /** Warmup + `passes` timed passes at one parallelism level, min taken
+    * (the per-level measurement body, shared with [[BenchLevel]]). */
+  private[graft] def measureLevel(cpus: Int, benchImages: Long,
+      passes: Int = 1): (Double, Double) = {
+    val spark = session(cpus)
+    pipelineOnce(spark, math.min(benchImages / 10 + 1, 20000L), cpus) // warmup
+    val runs = (1 to math.max(1, passes)).map(_ => pipelineOnce(spark, benchImages, cpus))
+    spark.stop()
+    (runs.map(_._1).min, runs.map(_._2).min)
+  }
+
+  private val benchLevelMarker = "BENCHLEVEL"
+
+  /** Run one level in a fresh JVM; None if the subprocess can't run. */
+  private def measureLevelSubprocess(cpus: Int, benchImages: Long): Option[(Double, Double)] =
+    try {
+      val sep = java.io.File.separator
+      val javaBin = System.getProperty("java.home") + sep + "bin" + sep + "java"
+      val cp = System.getProperty("java.class.path")
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        s"-Xms$mem", s"-Xmx$mem",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.BenchLevel", cpus.toString, benchImages.toString))
+      val pb = new ProcessBuilder(cmd: _*)
+      val proc = pb.start()
+      // drain stderr (Spark logs) so the child never blocks on a full pipe
+      val drain = new Thread(() => {
+        val s = proc.getErrorStream
+        val buf = new Array[Byte](8192)
+        while (s.read(buf) >= 0) ()
+      })
+      drain.setDaemon(true); drain.start()
+      val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val rc = proc.waitFor()
+      if (rc != 0) None
+      else lines.find(_.startsWith(benchLevelMarker + " ")).map { l =>
+        val p = l.split(' ')
+        (p(1).toDouble, p(2).toDouble)
+      }
+    } catch { case _: Exception => None }
+
+  private[graft] def levelMain(args: Array[String]): Unit = {
+    val (fit, score) = measureLevel(args(0).toInt, args(1).toLong)
+    println(s"$benchLevelMarker $fit $score")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -87,26 +150,30 @@ object Bench {
       (cpus * 62500L).toString).toLong
     val lowCpus = math.max(1, cpus / 4)
 
-    // --- Phase 1: pipeline throughput, LOW parallelism first, with a
-    // fresh warmup pass per level so JIT/codegen warmup doesn't bias
-    // either side of the scaling-efficiency ratio -----------------------
-    // Best-of-2 timed passes per level: single-pass numbers swing ±40%
-    // on this VM (hypervisor noise) — min-of-2 is the standard stabilizer.
-    def best2(s: SparkSession, c: Int): (Double, Double) = {
-      val a = pipelineOnce(s, benchImages, c)
-      val b = pipelineOnce(s, benchImages, c)
-      (math.min(a._1, b._1), math.min(a._2, b._2))
+    // --- Phases 1-2: pipeline throughput per level. Each sample runs in
+    // its OWN JVM (clean heap/JIT), and the levels are INTERLEAVED
+    // L,H,L,H across time with the per-side minimum taken: this VM's
+    // hypervisor noise comes in multi-minute windows that hit the
+    // 32-thread side hardest (observed 14–27 s for the identical score
+    // phase across runs while the 8-thread side held within ±3%); the
+    // min over temporally-spread samples estimates each side's noise
+    // floor — the quantity the N-vs-4N criterion is about.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val samples = (1 to math.max(1, rounds)).map { _ =>
+      val lo = measureLevelSubprocess(lowCpus, benchImages)
+        .getOrElse(measureLevel(lowCpus, benchImages))
+      val hi = measureLevelSubprocess(cpus, benchImages)
+        .getOrElse(measureLevel(cpus, benchImages))
+      (lo, hi)
     }
-    val sparkLow = session(lowCpus)
-    pipelineOnce(sparkLow, math.min(benchImages / 10 + 1, 20000L), lowCpus) // warmup
-    val (fitLow, scoreLow) = best2(sparkLow, lowCpus)
-    sparkLow.stop()
+    val fitLow = samples.map(_._1._1).min
+    val scoreLow = samples.map(_._1._2).min
+    val fitHigh = samples.map(_._2._1).min
+    val scoreHigh = samples.map(_._2._2).min
     PipelineCache.clear()
 
-    // --- Phase 2: same job, same input, HIGH parallelism --------------
+    // --- Phases 3-4 session (per-query timings + dedup/ANN throughput)
     val spark = session(cpus)
-    pipelineOnce(spark, math.min(benchImages / 10 + 1, 20000L), cpus) // warmup
-    val (fitHigh, scoreHigh) = best2(spark, cpus)
 
     // --- Phase 3: per-query timings at local[cpus] ---------------------
     // A failing query must NOT bench as fast-and-green: record the error
@@ -179,4 +246,10 @@ object Bench {
         json.getBytes("UTF-8")): Unit
     } catch { case _: Throwable => () }
   }
+}
+
+/** Subprocess entry for one parallelism level (see [[Bench]] class doc):
+  * prints "BENCHLEVEL <fitSec> <scoreSec>" on stdout. */
+object BenchLevel {
+  def main(args: Array[String]): Unit = Bench.levelMain(args)
 }

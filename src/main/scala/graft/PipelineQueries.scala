@@ -203,6 +203,30 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // §2.7: Structured Streaming as a driver-contract surface — a real
+    // readStream micro-batch over a parquet shard running the SAME
+    // scoring expressions (score parity with batch is spec-asserted),
+    // watermarked tumbling-window drop-rate audit rows out
+    "qf_stream_window" -> ((s, _) => {
+      val dir = "target/graft-qf-stream"
+      PipelineLoop.deleteRecursively(new java.io.File(dir))
+      ImageGen.images(s, GenConfig(n = 500L, parts = 4))
+        .withColumn("ts", timestamp_millis(lit(1700000000000L) +
+          substring(col("image_id"), 4, 9).cast("long") * 1000))
+        .write.parquet(dir)
+      val schema = s.read.parquet(dir).schema
+      val models = PipelineCache.models(s, 500L)
+      val stream = s.readStream.schema(schema).parquet(dir)
+      val agg = graft.streaming.StreamScore.windowedDropRate(
+        graft.streaming.StreamScore.scoreStream(stream, models, 0.5), "ts")
+      val sink = "qf_stream_window_sink"
+      s.catalog.dropTempView(sink)
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink).orderBy("window_start")
+    }),
+
     // M9–M13: cluster the faulty rows + per-cluster decision-tree rules
     "qf_cluster_rules" -> ((s, _) => {
       val scored = PipelineCache.scored(s, N).withColumn("status", lit("clean"))

@@ -297,6 +297,19 @@ object SparkEntry {
         .orderBy("r_name")
     }),
 
+    // North-rule skew handling: salted two-phase aggregation over the
+    // (skewed) language key — must agree exactly with a plain GROUP BY
+    "q28_salted_counts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cnt = graft.ops.Salting.saltedCount(docs, "lang", "doc_id")
+      val tot = graft.ops.Salting.saltedSum(
+        docs.withColumn("n_chars", col("n_chars").cast("long")),
+        "lang", "n_chars", "doc_id")
+      cnt.join(tot, Seq("lang"))
+        .select(col("lang"), col("cnt"), col("total").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // M2 multivariate: PCA reconstruction-error scorer (joint-structure
     // anomaly detection the per-column z-score path can't express). For
     // d=2 standardized features the eigenbasis is closed-form
@@ -506,6 +519,9 @@ object SparkEntry {
         | LEFT JOIN f ON f.v = COALESCE(CAST(cu.c_mktsegment AS VARCHAR), 'NULL'))
         |SELECT c_custkey, ROUND(GREATEST(s1, s2, s3), 4) AS inval
         |FROM scored ORDER BY c_custkey""".stripMargin,
+    "q28_salted_counts" ->
+      """SELECT lang, COUNT(*) AS cnt, SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q27_supplier_region" ->
       """SELECT r_name, COUNT(*) AS n_suppliers,
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
