@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Exprs
 import graft.models.{LangId, LangIdModel, NGramLM, NGramLMModel}
 import graft.rules.HeuristicRules
-import graft.scrub.Scrub
 
 /** Per-row invalidity scoring (M5–M7): one narrow, partition-parallel
   * `withColumns` pass adding per-rule score columns (the reference's
@@ -96,7 +95,9 @@ object Scorer {
         m
     }
 
-  /** Heuristic (model-free) rule score columns, each in [0,1]. */
+  /** Heuristic (model-free) rule score columns, each in [0,1].
+    * score_pii is NOT here: it derives from the scrubbed caption
+    * (comparison), so the scrub chain evaluates once per row. */
   def ruleColumns: Seq[(String, Column)] = {
     val cap = col("caption")
     Seq(
@@ -104,13 +105,12 @@ object Scorer {
       "score_symbol" -> HeuristicRules.symbolScore(cap),
       "score_repetition" -> HeuristicRules.repetitionScore(cap),
       "score_resolution" -> HeuristicRules.resolutionScore(col("w"), col("h")),
-      "score_aspect" -> HeuristicRules.aspectScore(col("w"), col("h")),
-      "score_pii" -> Scrub.piiScore(cap))
+      "score_aspect" -> HeuristicRules.aspectScore(col("w"), col("h")))
   }
 
   /** Score column names contributing to the combined record score. */
   val scoreNames: Seq[String] =
-    ruleColumns.map(_._1) ++ Seq("score_langid", "score_ppl", "score_dup")
+    ruleColumns.map(_._1) ++ Seq("score_pii", "score_langid", "score_ppl", "score_dup")
 
   /** Raw per-row model signals — the expensive, caption-scanning pass,
     * computed ONCE and reusable across refit rounds: heuristic rule
@@ -129,7 +129,11 @@ object Scorer {
       .join(dup, Seq("image_id"), "left")
       .withColumn("score_dup", coalesce(col("__is_dup"), lit(0.0)))
       .drop("__is_dup")
-      .withColumn("scrubbed_caption", Scrub.scrub(col("caption")))
+      // single-pass native scrub; score_pii derives from it so the chain
+      // runs exactly once per row (was 3×: scrub + piiScore's 2 evals)
+      .withColumn("scrubbed_caption", Exprs.scrubAll(col("caption")))
+      .withColumn("score_pii",
+        when(col("scrubbed_caption") =!= col("caption"), lit(1.0)).otherwise(lit(0.0)))
   }
 
   /** Finish scoring from raw signals given a (possibly per-round

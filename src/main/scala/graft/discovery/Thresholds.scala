@@ -66,11 +66,23 @@ object Thresholds {
       n: Long,
       exact: Boolean = false): (Double, Double) = {
     val pKnownFrac = if (n > 0) 1.0 - nKnownFaults.toDouble / n.toDouble else 1.0
-    val ps: Seq[Double] =
+    // ONE aggregation job computes the percentile sketch AND the
+    // per-status-class min/max (conditional aggregates) — the class
+    // grouping has 3 fixed classes, so conditional min/max in a global
+    // agg replaces a second full pass + shuffle.
+    val isAf = col(statusCol).startsWith("actualFault")
+    val isVc = col(statusCol) === "valid" || col(statusCol) === "clean"
+    val s = col(scoreCol)
+    val classAggs = Seq(
+      min(when(isAf, s)).as("af_mn"), max(when(isAf, s)).as("af_mx"),
+      max(when(isVc, s)).as("vc_mx"))
+
+    val (ps: Seq[Double], row: org.apache.spark.sql.Row) =
       if (exact) {
-        scored.agg(
-          expr(s"percentile($scoreCol, array(0.95D, $pKnownFrac, 0.5D))").as("ps"))
-          .head().getSeq[Double](0)
+        val r = scored.agg(
+          expr(s"percentile($scoreCol, array(0.95D, $pKnownFrac, 0.5D))").as("ps"),
+          classAggs: _*).head()
+        (r.getSeq[Double](0), r)
       } else {
         // Sketch path: percentile_approx returns an ACTUAL data value, and
         // score distributions plateau heavily (greatest() over few rules),
@@ -87,31 +99,24 @@ object Thresholds {
           nKnownFaults.toDouble / n.toDouble / 2.0 else 0.0
         val pLo = math.max(0.0, pKnownFrac - delta)
         val pHi = math.min(1.0, pKnownFrac + delta)
-        val raw = scored.agg(
+        val r = scored.agg(
           expr(s"percentile_approx($scoreCol, array(0.95D, $pLo, $pHi, 0.5D), 10000)")
-            .as("ps"))
-          .head().getSeq[Double](0)
+            .as("ps"),
+          classAggs: _*).head()
+        val raw = r.getSeq[Double](0)
         val pKnown = if (raw(2) > raw(1)) (raw(1) + raw(2)) / 2.0 else raw(2)
-        Seq(raw(0), pKnown, raw(3))
+        (Seq(raw(0), pKnown, raw(3)), r)
       }
 
-    val statusClass: Column =
-      when(col(statusCol).startsWith("actualFault"), "af")
-        .when(col(statusCol) === "valid" || col(statusCol) === "clean", "vc")
-        .otherwise("other")
-    val mm = scored.groupBy(statusClass.as("sc"))
-      .agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-
+    def opt(i: Int): Option[Double] = if (row.isNullAt(i)) None else Some(row.getDouble(i))
     val in = Inputs(
       nKnownFaults = nKnownFaults,
       n = n,
       p95 = ps(0),
       pKnown = ps(1),
-      a = mm.get("af").map(_._1),
-      b = mm.get("af").map(_._2),
-      d = mm.get("vc").map(_._2))
+      a = opt(1),
+      b = opt(2),
+      d = opt(3))
     (faultyThreshold(in), ps(2))
   }
 }

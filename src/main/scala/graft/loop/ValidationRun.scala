@@ -63,7 +63,7 @@ object ValidationRun {
     val dupDrop = PhashDup.dropIds(images).cache()
     val raw = Scorer.withRawSignals(images, models, dupDrop)
       .select((Seq("image_id", "pred_lang", "ppl_raw", "scrubbed_caption") ++
-        Scorer.ruleColumns.map(_._1) ++ Seq("score_langid", "score_dup")).map(col): _*)
+        Scorer.scoreNames.filterNot(_ == "score_ppl")).map(col): _*)
       .cache()
 
     // Per-round model state with label feedback (the reference retrains
@@ -100,11 +100,9 @@ object ValidationRun {
 
     val n = cfg.n
     val knownFlag = broadcast(known.withColumn("__known", lit(1)))
-    var lastThreshold = Double.NaN
     for (r <- (resumeFrom + 1) to cfg.rounds) {
       val st = scoreRound(statuses)
       val (t, _) = Thresholds.discover(st, "invalidity_score", "status", knownCount, n)
-      lastThreshold = t
       thresholds += t
 
       // One flagged frame carries everything the round needs: suspicious
@@ -177,7 +175,6 @@ object ValidationRun {
     val scoredFinal = scoreRound(statuses)
     val tFinal = Thresholds.discover(
       scoredFinal, "invalidity_score", "status", knownCount, n)._1
-    if (lastThreshold.isNaN) lastThreshold = tFinal
     val decisions = Scorer.withDecision(scoredFinal, tFinal)
       .select("image_id", "decision", "invalidity_score", "scores",
         "scrubbed_caption", "status")

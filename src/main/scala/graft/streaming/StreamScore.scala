@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.detect.Scorer
-import graft.scrub.Scrub
 
 /** Structured Streaming surface (SURVEY.md §2.7 stretch): the scoring
   * core is pure Catalyst expressions + broadcast state, so the same
@@ -40,10 +39,13 @@ object StreamScore {
         (Exprs.perplexity(col("caption"), m.lm) /
           coalesce(element_at(refMap, Exprs.langidBest(col("caption"), m.langId)),
             lit(m.pplRef)) - lit(2.5)) / lit(2.0))))
-    val names = rules.map(_._1) ++ Seq("score_langid", "score_ppl")
+      // same single-pass scrub + derived score_pii as the batch path
+      .withColumn("scrubbed_caption", Exprs.scrubAll(col("caption")))
+      .withColumn("score_pii",
+        when(col("scrubbed_caption") =!= col("caption"), lit(1.0)).otherwise(lit(0.0)))
+    val names = rules.map(_._1) ++ Seq("score_pii", "score_langid", "score_ppl")
     withCols
       .withColumn("invalidity_score", greatest(names.map(col): _*))
-      .withColumn("scrubbed_caption", Scrub.scrub(col("caption")))
       .withColumn("decision",
         when(col("invalidity_score") >= threshold, "drop").otherwise("keep"))
   }

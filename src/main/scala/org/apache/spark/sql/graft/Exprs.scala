@@ -134,6 +134,27 @@ object Exprs {
     override def prettyName: String = "graft_minhash_bands"
   }
 
+  /** Whole PII/toxicity scrub chain in ONE pass (see
+    * graft.scrub.Scrub.scrubString): one UTF8String↔String round-trip
+    * per row instead of one per chained regexp_replace rule, precompiled
+    * patterns, allocation-free when nothing matches. Exact-equality
+    * parity with the built-in chain is test-gated. */
+  case class ScrubAll(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(
+        graft.scrub.Scrub.scrubString(v.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  graft.scrub.Scrub.scrubString($c.toString()));""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_scrub"
+  }
+
   // ---- Column-level API -------------------------------------------------
   def langidAcceptedProb(c: Column, bc: Broadcast[LangIdModel]): Column =
     Bridge.column(LangIdAcceptedProb(Bridge.expression(c), bc))
@@ -153,6 +174,9 @@ object Exprs {
   def minhashBandKeys(c: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
     Bridge.column(MinhashBandKeys(Bridge.expression(c), shingleK, numHashes, bands))
 
+  def scrubAll(c: Column): Column =
+    Bridge.column(ScrubAll(Bridge.expression(c)))
+
   /** Register the SQL surface: hamming64 plus model-bound functions
     * (graft_langid / graft_accepted_prob / graft_perplexity). */
   def registerSql(
@@ -161,6 +185,7 @@ object Exprs {
       lm: Broadcast[NGramLMModel]): Unit = {
     Bridge.register(spark, "hamming64", es => Hamming64(es(0), es(1)))
     Bridge.register(spark, "graft_simhash64", es => SimHash64(es.head))
+    Bridge.register(spark, "graft_scrub", es => ScrubAll(es.head))
     Bridge.register(spark, "graft_accepted_prob", es => LangIdAcceptedProb(es.head, langId))
     Bridge.register(spark, "graft_langid", es => LangIdBest(es.head, langId))
     Bridge.register(spark, "graft_perplexity", es => Perplexity(es.head, lm))

@@ -95,6 +95,26 @@ class ExprsSpec extends AnyFunSuite {
       l.contains("*(") && l.contains("graft_simhash64")), plan)
   }
 
+  test("graft_scrub: exact parity with the regexp_replace chain") {
+    val texts = Seq(
+      "contact me at user9@example.com or 555-123-4567 now",
+      "visit https://a.example/x?y=1 from 10.0.0.1",
+      "my ssn is 123-45-6789 you unclefucker",
+      "a perfectly clean caption about a dog",
+      "")
+    val df = texts.toDF("caption")
+    val rows = df.select(col("caption"),
+      Exprs.scrubAll(col("caption")).as("fast"),
+      graft.scrub.Scrub.scrub(col("caption")).as("chain")).collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"mismatch on '${r.getString(0)}'")
+      assert(r.getString(1) == graft.scrub.Scrub.scrubString(r.getString(0)))
+    }
+    val nullRow = Seq[(String, Int)]((null, 1)).toDF("caption", "x")
+      .select(Exprs.scrubAll(col("caption"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("SQL registration: functions callable from spark.sql") {
     Exprs.registerSql(spark, langIdB, lmB)
     val out = spark.sql(
