@@ -6,22 +6,37 @@ import graft.detect.Scorer
 import graft.discovery.{PhashDup, Thresholds}
 import graft.synth.{GenConfig, ImageGen}
 
-/** Benchmark main. Prints exactly ONE JSON line:
-  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}
-  * plus flagship-pipeline throughput (images/sec) at N=2 vs 4N=8 cores
-  * (primary scaling_efficiency — the sandbox evidence for the
-  * BASELINE.json two-cluster-size criterion), the 8→32-thread pair, and
-  * substrate probe ratios that bound what this box allows between 8 and
-  * 32 threads (see the phase 1-2 comment in main).
+/** Benchmark main.
   *
-  * SPARK_GRAFT_CPUS sets the top thread count (default 32).
-  * SPARK_GRAFT_BENCH_IMAGES sets the synthetic pipeline row count.
-  * SPARK_GRAFT_BENCH_ROUNDS sets samples per level (default 2).
+  * Contract: emits a machine-readable JSON object on stdout and in
+  * `target/bench.json`. Phases run CHEAP-FIRST (per-query timings →
+  * dedup/ANN throughput → two-parallelism scaling) and the cumulative
+  * JSON is re-printed and re-written after EVERY completed phase and
+  * every scaling sample, so a harness kill at any point still leaves a
+  * parseable line with everything measured so far — the LAST JSON line
+  * on stdout is always the most complete. (Round 2 ran the expensive
+  * scaling phase first with no intermediate flush; the harness timeout
+  * left `rc=124, parsed:null` and zero driver-verified evidence.)
   *
-  * Every level sample runs in a FRESH subprocess JVM ([[BenchLevel]]):
-  * sharing one JVM lets the first level's heap/GC state skew the second
-  * (observed 2× swings on identical score phases). Falls back to
-  * in-process measurement if spawning fails.
+  * Scaling protocol — PRE-REGISTERED, no outcome-conditioned logic:
+  * up to `SPARK_GRAFT_BENCH_ROUNDS` (default 2) paired samples of the
+  * flagship fit+score pipeline at N=2 and 4N=8 cores, each level in a
+  * fresh subprocess JVM, low/high of a pair back-to-back so a slow
+  * hypervisor window hits both sides of the ratio; plus one sample at
+  * the full thread count for the 8→32 context pair. Reported
+  * `scaling_efficiency` = MEDIAN of the per-pair ratios
+  * (scoreLow/scoreHigh)/(8/2); every raw sample is emitted in
+  * `scaling_samples` so the estimator is inspectable. Samples stop
+  * early ONLY on the wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`,
+  * default 480 s) or per-sample caps (~3× each level's clean-window
+  * cost) — never on the measured value; kills are counted in
+  * `scaling_sample_failures`, and if no complete pair lands, ONE rescue
+  * pair at a third of the input (tagged `scaling_rescue`, row counts on
+  * every sample) still evidences the ratio inside any slow window. The N=2→8-core pair is
+  * the primary two-cluster-size evidence (the brief allows "N and 4N
+  * cores"); on this single box 8→32 threads measures the shared DRAM
+  * bus, not the pipeline — the substrate probes bound that and are
+  * reported alongside (see BENCH.md).
   */
 object Bench {
 
@@ -85,21 +100,23 @@ object Bench {
     ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
-  /** Warmup + `passes` timed passes at one parallelism level, min taken
-    * (the per-level measurement body, shared with [[BenchLevel]]). */
-  private[graft] def measureLevel(cpus: Int, benchImages: Long,
-      passes: Int = 1): (Double, Double) = {
+  /** Warmup + one timed pass at one parallelism level (the per-level
+    * measurement body, shared with [[BenchLevel]]). */
+  private[graft] def measureLevel(cpus: Int, benchImages: Long): (Double, Double) = {
     val spark = session(cpus)
-    pipelineOnce(spark, math.min(benchImages / 10 + 1, 20000L), cpus) // warmup
-    val runs = (1 to math.max(1, passes)).map(_ => pipelineOnce(spark, benchImages, cpus))
+    pipelineOnce(spark, math.min(benchImages / 10 + 1, 10000L), cpus) // JIT warmup
+    val run = pipelineOnce(spark, benchImages, cpus)
     spark.stop()
-    (runs.map(_._1).min, runs.map(_._2).min)
+    run
   }
 
   private val benchLevelMarker = "BENCHLEVEL"
 
-  /** Run one level in a fresh JVM; None if the subprocess can't run. */
-  private def measureLevelSubprocess(cpus: Int, benchImages: Long): Option[(Double, Double)] =
+  /** Run one level in a fresh JVM (clean heap/JIT — sharing one JVM let
+    * the first level's GC state skew the second by up to 2×); None if
+    * the subprocess can't run or exceeds `timeoutSec`. */
+  private def measureLevelSubprocess(cpus: Int, benchImages: Long,
+      timeoutSec: Long): Option[(Double, Double)] =
     try {
       val sep = java.io.File.separator
       val javaBin = System.getProperty("java.home") + sep + "bin" + sep + "java"
@@ -132,12 +149,24 @@ object Bench {
         while (s.read(buf) >= 0) ()
       })
       drain.setDaemon(true); drain.start()
-      val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-      val rc = proc.waitFor()
-      if (rc != 0) None
-      else lines.find(_.startsWith(benchLevelMarker + " ")).map { l =>
-        val p = l.split(' ')
-        (p(1).toDouble, p(2).toDouble)
+      // collect stdout on a thread so waitFor(timeout) stays responsive
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val collect = new Thread(() => {
+        scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().foreach(l => lines.synchronized { lines += l })
+      })
+      collect.setDaemon(true); collect.start()
+      val done = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { proc.destroyForcibly(); None }
+      else if (proc.exitValue() != 0) None
+      else {
+        collect.join(2000)
+        lines.synchronized {
+          lines.find(_.startsWith(benchLevelMarker + " ")).map { l =>
+            val p = l.split(' ')
+            (p(1).toDouble, p(2).toDouble)
+          }
+        }
       }
     } catch { case _: Exception => None }
 
@@ -152,7 +181,8 @@ object Bench {
     * bounds what ANY workload can achieve between those thread counts
     * on this box — the context needed to read the two-level pipeline
     * numbers correctly (single-box threads share one memory bus;
-    * cluster executors do not). */
+    * cluster executors do not). Single run per probe (context, not
+    * evidence — the pipeline samples are the evidence). */
   private[graft] def substrateProbe(threads: Int): (Double, Double) = {
     // (a) register-bound: splitmix64 chain, fixed 2e9 total iterations
     val totalIters = 2000000000L
@@ -193,82 +223,52 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    (math.min(cpuRun(), cpuRun()), math.min(memRun(), memRun()))
+    (cpuRun(), memRun())
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // Default scales with the CPU budget so the parallel fraction
-    // dominates fixed per-job latency at any level (≈62k rows/core).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    def remaining: Double = budgetSec - elapsed
+    // Scaling row count: 750k at 32 cpus — large enough that the
+    // parallel fraction dominates fixed per-job latency (score ≈ 30 s at
+    // 2 cores, ≈ 8 s at 8), small enough that a 2-core sample fits its
+    // wall-clock cap even through a ~3× hypervisor slow window.
     val benchImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES",
-      (cpus * 62500L).toString).toLong
+      (cpus * 23438L).toString).toLong
 
-    // --- Phases 1-2: pipeline throughput at up to THREE core counts,
-    // every sample in its own JVM (clean heap/JIT), interleaved across
-    // time, per-level minimum taken (hypervisor noise comes in
-    // multi-minute windows that hit high thread counts hardest).
-    //
-    // PRIMARY two-cluster-size evidence = N=2 vs 4N=8 CORES (the task
-    // brief: "local[8] and local[32], or N and 4N cores"). On this
-    // single box the 8→32 pair measures the shared DRAM bus, not the
-    // pipeline: the substrate probes below show register-bound work
-    // scaling 3.3× and DRAM-bound work only ~1.4× from 8→32 threads —
-    // no workload that touches memory can reach 3.2×/4 on one bus —
-    // while from 2→8 cores the substrate is linear (probes ~4×).
-    // Executors on a real cluster bring their own memory channels, so
-    // 2→8 is the faithful local analog of N→4N executors; the 8→32
-    // pair AND the probe ratios are reported alongside for full
-    // transparency (the pipeline itself measured 4.006× from 2→8).
-    val rounds = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt)
-    def sample(c: Int): (Double, Double) =
-      measureLevelSubprocess(c, benchImages)
-        .getOrElse(measureLevel(c, benchImages))
-    val (nLow, nHigh) = if (cpus >= 16) (2, 8) else (math.max(1, cpus / 4), cpus)
-    // PAIRED sampling: the low and high levels of one pair run
-    // back-to-back, so a slow hypervisor window (observed to inflate a
-    // whole 20-minute span ~1.5× on EVERY level) hits both sides of the
-    // ratio and cancels; pairs are then spread across time and the best
-    // pair taken. The cross-pair per-side minimum is computed as a
-    // second estimator (best clean floor per side) and the reported
-    // ratio is the better of the two — both can only UNDERestimate the
-    // pipeline's true speedup (4.006× hand-measured on idle hardware;
-    // noise adds time, and adds more of it at higher thread counts), so
-    // max-of-estimators is the least-biased choice available.
-    val pairs = scala.collection.mutable.ArrayBuffer.empty[((Double, Double), (Double, Double))]
-    val maxSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    def samplePair(): Unit = pairs += ((sample(nLow), sample(nHigh)))
-    samplePair()
-    (1 to math.min(rounds, 2)).foreach { _ =>
-      if (cpus > nHigh) maxSamples += sample(cpus)
+    // Cumulative JSON: ordered field map, re-emitted after every phase /
+    // scaling sample. Values are pre-rendered JSON fragments.
+    val fields = scala.collection.mutable.LinkedHashMap[String, String](
+      "metric" -> "\"total\"", "value" -> "0", "unit" -> "\"sec\"",
+      "queries" -> "{}", "sf" -> ("\"" + sfDir + "\""),
+      "phase_completed" -> "\"none\"", "budget_sec" -> budgetSec.toString)
+    def flush(): Unit = {
+      fields("elapsed_sec") = elapsed.toString
+      val json = fields.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(json)
+      System.out.flush()
+      try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+        java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+          json.getBytes("UTF-8")): Unit
+      } catch { case _: Throwable => () }
     }
-    def pairEff(p: ((Double, Double), (Double, Double))): Double =
-      (p._1._2 / p._2._2) / (nHigh.toDouble / nLow)
-    // adaptive: bad weather can only deflate the measured ratio; extra
-    // temporally-spread pairs give the estimator cleaner windows
-    while (pairs.map(pairEff).max < 0.85 && pairs.size < 3) {
-      Thread.sleep(45000) // let the weather window move
-      samplePair()
-    }
-    val bestPair = pairs.maxBy(pairEff)
-    val minMin = ((pairs.map(_._1._1).min, pairs.map(_._1._2).min),
-      (pairs.map(_._2._1).min, pairs.map(_._2._2).min))
-    val chosen = if (pairEff(minMin) > pairEff(bestPair)) minMin else bestPair
-    val ((fitLow, scoreLow), (fitHigh, scoreHigh)) = chosen
-    val (fitMax, scoreMax) =
-      if (maxSamples.nonEmpty) (maxSamples.map(_._1).min, maxSamples.map(_._2).min)
-      else (fitHigh, scoreHigh)
-    // substrate context for the 8→32 pair
-    val (cpuProbeHigh, memProbeHigh) = substrateProbe(nHigh)
-    val (cpuProbeMax, memProbeMax) = substrateProbe(cpus)
-    PipelineCache.clear()
 
-    // --- Phases 3-4 session (per-query timings + dedup/ANN throughput)
-    val spark = session(cpus)
-
-    // --- Phase 3: per-query timings at local[cpus] ---------------------
+    // --- Phase 1: per-query timings at local[cpus] ---------------------
     // A failing query must NOT bench as fast-and-green: record the error
     // string per query and surface it in the JSON.
+    val spark = session(cpus)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -278,9 +278,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    fields("queries") = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    fields("errors") = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\r\n\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    fields("value") = results.map(_._2).sum.toString
+    fields("phase_completed") = "\"queries\""
+    flush()
 
-    // --- Phase 4: training-data-op throughput (dedup + ANN) ------------
-    val dedupN = math.max(benchImages / 5, 10000L)
+    // --- Phase 2: training-data-op throughput (dedup + ANN) ------------
+    val dedupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_ROWS", "200000").toLong
     val dedupImages = ImageGen.images(spark,
       GenConfig(n = dedupN, parts = 128)).cache()
     dedupImages.count()
@@ -292,7 +301,7 @@ object Bench {
     val simhashSec = (System.nanoTime() - tD1) / 1e9
     dedupImages.unpersist(blocking = true)
 
-    val annN = math.max(benchImages / 10, 10000L)
+    val annN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANN_ROWS", "100000").toLong
     val emb = graft.ops.Similarity.synthEmbeddings(spark, annN).cache()
     emb.count()
     val queries = emb.filter(col("vec_id") < 16)
@@ -305,48 +314,134 @@ object Bench {
     val annLshSec = (System.nanoTime() - tA1) / 1e9
     emb.unpersist(blocking = true)
     spark.stop()
+    PipelineCache.clear()
+    fields("dedup_rows") = dedupN.toString
+    fields("minhash_docs_per_sec") = (dedupN / minhashSec).toString
+    fields("simhash_docs_per_sec") = (dedupN / simhashSec).toString
+    fields("ann_rows") = annN.toString
+    fields("ann_brute_sec") = annBruteSec.toString
+    fields("ann_lsh_sec") = annLshSec.toString
+    fields("phase_completed") = "\"dedup_ann\""
+    flush()
 
-    val ipsHigh = benchImages / scoreHigh
-    val ipsLow = benchImages / scoreLow
-    val ipsMax = benchImages / scoreMax
-    // primary: N=nLow vs 4N=nHigh cores (see phase 1-2 comment)
-    val eff = (ipsHigh / ipsLow) / (nHigh.toDouble / nLow)
-    // secondary: nHigh → cpus threads (bounded by the shared memory bus;
-    // probe ratios give the substrate ceiling)
-    val effMax =
-      if (cpus > nHigh) (ipsMax / ipsHigh) / (cpus.toDouble / nHigh) else 1.0
+    // --- Phase 3: two-parallelism scaling (see class doc: protocol is
+    // pre-registered; budget — never the measured value — is the only
+    // thing that can cut sampling short) -------------------------------
+    val maxPairs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt)
+    val (nLow, nHigh) = if (cpus >= 16) (2, 8) else (math.max(1, cpus / 4), cpus)
+    // (cpus, rows, fitSec, scoreSec) — rows ride along so a rescue pair
+    // at a smaller input can never be ratio'd against a primary sample
+    final case class Sample(cpus: Int, rows: Long, fit: Double, score: Double)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    var samplesFailed = 0
+    def renderSamples(): Unit = {
+      fields("cpus_low") = nLow.toString
+      fields("cpus_high") = nHigh.toString
+      fields("cpus_max") = cpus.toString
+      fields("pipeline_images") = benchImages.toString
+      fields("scaling_samples") = samples.map { s =>
+        s"""{"cpus":${s.cpus},"rows":${s.rows},"fit_sec":${s.fit},"score_sec":${s.score}}"""
+      }.mkString("[", ",", "]")
+      fields("scaling_sample_failures") = samplesFailed.toString
+      val lows = samples.filter(_.cpus == nLow)
+      val highs = samples.filter(_.cpus == nHigh)
+      val maxes = samples.filter(_.cpus == cpus)
+      // paired ratios: i-th low with i-th high, same row count only
+      val ratios = lows.zip(highs).collect {
+        case (lo, hi) if lo.rows == hi.rows =>
+          (lo.score / hi.score) / (nHigh.toDouble / nLow)
+      }
+      fields("scaling_pair_ratios") = ratios.mkString("[", ",", "]")
+      if (ratios.nonEmpty) {
+        fields("scaling_efficiency") = median(ratios.toSeq).toString
+        // summary floors over the row count of the first complete pair
+        val n = lows.zip(highs).collectFirst {
+          case (lo, hi) if lo.rows == hi.rows => lo.rows }.get
+        fields("scaling_rows_used") = n.toString
+        val bestLow = lows.filter(_.rows == n).map(_.score).min
+        val bestHigh = highs.filter(_.rows == n).map(_.score).min
+        fields("score_sec_low") = bestLow.toString
+        fields("score_sec_high") = bestHigh.toString
+        fields("fit_sec_low") = lows.filter(_.rows == n).map(_.fit).min.toString
+        fields("fit_sec_high") = highs.filter(_.rows == n).map(_.fit).min.toString
+        fields("images_per_sec_low") = (n / bestLow).toString
+        fields("images_per_sec_high") = (n / bestHigh).toString
+        maxes.filter(_.rows == n) match {
+          case ms if ms.nonEmpty =>
+            val bestMax = ms.map(_.score).min
+            fields("score_sec_max") = bestMax.toString
+            fields("images_per_sec_max") = (n / bestMax).toString
+            fields("scaling_efficiency_high_pair") =
+              ((bestHigh / bestMax) / (cpus.toDouble / nHigh)).toString
+          case _ => ()
+        }
+      }
+    }
+    // Returns true iff the sample landed. capSec bounds the child's wall
+    // clock; a kill is a FAILURE COUNT, never a retry-until-favorable.
+    def sample(c: Int, rows: Long, capSec: Long): Boolean = {
+      val cap = math.max(45L, math.min(remaining.toLong - 10L, capSec))
+      val got = measureLevelSubprocess(c, rows, cap)
+      got.foreach(r => samples += Sample(c, rows, r._1, r._2))
+      if (got.isEmpty) samplesFailed += 1
+      renderSamples()
+      flush()
+      got.nonEmpty
+    }
+    // Per-sample caps sized at ~3× the clean-window cost of each level so
+    // one hypervisor slow window can't drain the whole phase budget
+    // (clean floors at 750k rows: 2c ≈ 75 s, 8c ≈ 30 s, 32c ≈ 25 s
+    // including JVM+session startup and warmup).
+    val capLow = 240L; val capHigh = 120L; val capMax = 90L
+    var pairCost = Double.MaxValue
+    for (p <- 0 until maxPairs) {
+      val canRun =
+        if (p == 0) remaining > 90 // always try one pair if any time is left
+        else remaining > math.min(pairCost * 1.2, (capLow + capHigh).toDouble)
+      if (canRun) {
+        val t0 = elapsed
+        sample(nLow, benchImages, capLow)
+        sample(nHigh, benchImages, capHigh)
+        pairCost = math.min(pairCost, elapsed - t0)
+        // the 8→32 context sample rides after the first pair
+        if (p == 0 && cpus > nHigh && remaining > 120) sample(cpus, benchImages, capMax)
+      }
+    }
+    // Rescue pair: if NO complete pair landed (both-sides-killed in a slow
+    // window — a completion condition, not a value condition), one pair at
+    // a third of the input still evidences the ratio and fits any window.
+    val havePair = samples.exists(_.cpus == nLow) && samples.exists(_.cpus == nHigh)
+    if (!havePair && remaining > 120) {
+      fields("scaling_rescue") = "true"
+      val rescueRows = math.max(100000L, benchImages / 3)
+      sample(nLow, rescueRows, capLow)
+      sample(nHigh, rescueRows, capHigh)
+    }
+    // Last resort: subprocess spawn itself unavailable under this
+    // launcher → one in-process pair, tagged (in-sbt absolute times run
+    // slower than a clean child JVM; the ratio is still informative).
+    if (samples.isEmpty && remaining > 90) {
+      fields("scaling_mode") = "\"inproc_fallback\""
+      try {
+        val lo = measureLevel(nLow, benchImages)
+        samples += Sample(nLow, benchImages, lo._1, lo._2); renderSamples(); flush()
+        val hi = measureLevel(nHigh, benchImages)
+        samples += Sample(nHigh, benchImages, hi._1, hi._2); renderSamples(); flush()
+      } catch { case _: Throwable => () }
+    } else fields("scaling_mode") = "\"subprocess\""
+    fields("scaling_pairs_run") = samples.count(_.cpus == nLow).toString
+    fields("phase_completed") = "\"scaling\""
+    flush()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\r\n\t]", " ") + "\""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""errors":$errJson,""" +
-        s""""pipeline_images":$benchImages,""" +
-        s""""cpus_high":$nHigh,"cpus_low":$nLow,""" +
-        s""""fit_sec_high":$fitHigh,"fit_sec_low":$fitLow,""" +
-        s""""score_sec_high":$scoreHigh,"score_sec_low":$scoreLow,""" +
-        s""""images_per_sec_high":$ipsHigh,"images_per_sec_low":$ipsLow,""" +
-        s""""scaling_efficiency":$eff,""" +
-        s""""cpus_max":$cpus,"score_sec_max":$scoreMax,""" +
-        s""""images_per_sec_max":$ipsMax,""" +
-        s""""scaling_efficiency_high_pair":$effMax,""" +
-        s""""probe_cpu_scaling_high_to_max":${cpuProbeHigh / cpuProbeMax},""" +
-        s""""probe_mem_scaling_high_to_max":${memProbeHigh / memProbeMax},""" +
-        s""""dedup_rows":$dedupN,"minhash_docs_per_sec":${dedupN / minhashSec},""" +
-        s""""simhash_docs_per_sec":${dedupN / simhashSec},""" +
-        s""""ann_rows":$annN,"ann_brute_sec":$annBruteSec,"ann_lsh_sec":$annLshSec}"""
-    println(json)
-    // Belt-and-braces for the harness: also persist the line to a file so
-    // a log-prefix regression can never make the round unparseable again.
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-        json.getBytes("UTF-8")): Unit
-    } catch { case _: Throwable => () }
+    // --- Phase 4 (context only): substrate probes for the 8→32 pair ----
+    if (cpus > nHigh && remaining > 45) {
+      val (cpuProbeHigh, memProbeHigh) = substrateProbe(nHigh)
+      val (cpuProbeMax, memProbeMax) = substrateProbe(cpus)
+      fields("probe_cpu_scaling_high_to_max") = (cpuProbeHigh / cpuProbeMax).toString
+      fields("probe_mem_scaling_high_to_max") = (memProbeHigh / memProbeMax).toString
+      fields("phase_completed") = "\"probes\""
+      flush()
+    }
   }
 }
 

@@ -48,12 +48,28 @@ object PipelineCache {
     }
 }
 
-/** Rows-only (non-SQL-expressible) queries over the synthetic
-  * image+caption pipeline — the engine's flagship operators. The driver
-  * records a rows-only check for these (no oracleSql entries). */
+/** Queries over the synthetic image+caption pipeline — the engine's
+  * flagship operators. Most are rows-only (non-SQL-expressible; the
+  * driver records a rows-only check), but the phash-banding pair/cluster
+  * queries and brute-force ANN are oracle-checked: the deterministic
+  * (image_id, phash) fixture is written to parquet during Verify and the
+  * DuckDB oracle recomputes pairs O(n²) / clusters via recursive
+  * reachability over it. */
 object PipelineQueries {
 
   private val N = 2000L
+
+  /** Absolute path of the (image_id, phash) oracle fixture. Computed at
+    * runtime so the path embedded in the oracle SQL is exactly where the
+    * Verify process wrote it, regardless of cwd. */
+  private[graft] def phashFixturePath: String =
+    new java.io.File("target/verify-fixtures/phash_input.parquet").getAbsolutePath
+
+  /** Write the fixture the phash oracles read (idempotent overwrite —
+    * both phash queries call it so map iteration order doesn't matter). */
+  private def writePhashFixture(s: SparkSession): Unit =
+    PipelineCache.images(s, N).select(col("image_id"), col("phash"))
+      .coalesce(1).write.mode("overwrite").parquet(phashFixturePath)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M5–M8 + P3: full score → threshold → keep/drop pass
@@ -91,9 +107,22 @@ object PipelineQueries {
     }),
 
     // North-rule phash banding: verified near-duplicate pairs
-    "qf_phash_dup_pairs" -> ((s, _) =>
+    // (hash-checked: the DuckDB oracle recomputes all pairs O(n²) over
+    // the parquet fixture — banding must lose nothing vs the full join)
+    "qf_phash_dup_pairs" -> ((s, _) => {
+      writePhashFixture(s)
       PhashDup.duplicatePairs(PipelineCache.images(s, N))
-        .orderBy("id1", "id2")),
+        .orderBy("id1", "id2")
+    }),
+
+    // North-rule duplicate clusters: converged min-label propagation
+    // over the verified pair graph (hash-checked vs DuckDB recursive
+    // transitive closure over the same fixture)
+    "qf_phash_clusters" -> ((s, _) => {
+      writePhashFixture(s)
+      PhashDup.clusters(PhashDup.duplicatePairs(PipelineCache.images(s, N)))
+        .orderBy("image_id")
+    }),
 
     // M2: langid model predictions per language — native codegen'd
     // expression (no UDF serde), same broadcast weights as the pipeline
@@ -139,12 +168,17 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
-    // Similarity: brute-force cosine top-k on the driver embeddings table
+    // Similarity: brute-force cosine top-k on the driver embeddings
+    // table (hash-checked: plain SQL in DuckDB via list_dot_product;
+    // cos rounded to 4dp on both sides — double math agrees to ~1e-15,
+    // rounding absorbs the last-bit accumulation-order difference)
     "qf_ann_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       graft.ops.Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rank")
     }),
 
@@ -208,7 +242,10 @@ object PipelineQueries {
     // scoring expressions (score parity with batch is spec-asserted),
     // watermarked tumbling-window drop-rate audit rows out
     "qf_stream_window" -> ((s, _) => {
-      val dir = "target/graft-qf-stream"
+      // unique per-invocation scratch dir + sink name: two concurrent
+      // Verify runs must not collide on a fixed path/temp view
+      val runTag = java.util.UUID.randomUUID().toString.take(8)
+      val dir = s"target/graft-qf-stream-$runTag"
       PipelineLoop.deleteRecursively(new java.io.File(dir))
       ImageGen.images(s, GenConfig(n = 500L, parts = 4))
         .withColumn("ts", timestamp_millis(lit(1700000000000L) +
@@ -219,7 +256,7 @@ object PipelineQueries {
       val stream = s.readStream.schema(schema).parquet(dir)
       val agg = graft.streaming.StreamScore.windowedDropRate(
         graft.streaming.StreamScore.scoreStream(stream, models, 0.5), "ts")
-      val sink = "qf_stream_window_sink"
+      val sink = s"qf_stream_window_sink_$runTag"
       s.catalog.dropTempView(sink)
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
@@ -239,7 +276,51 @@ object PipelineQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  /** DuckDB oracles for the SQL-expressible pipeline queries. The phash
+    * oracles read the parquet fixture [[writePhashFixture]] emits during
+    * Verify (same absolute path, computed at dump time). */
+  def oracleSql: Map[String, String] = {
+    // Spark writes the fixture as a directory of part files — the DuckDB
+    // reader needs the glob
+    val fx = phashFixturePath.replace("'", "''") + "/*.parquet"
+    Map(
+      "qf_ann_brute" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+          |           FROM embeddings WHERE vec_id < 3),
+          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT q.query_id, e.vec_id,
+          |  CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)) > 0
+          |       THEN list_dot_product(v, qvec)
+          |            / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))
+          |       ELSE -1.0 END AS cos
+          |  FROM e CROSS JOIN q),
+          |r AS (SELECT query_id, vec_id, cos,
+          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
+          |  FROM c)
+          |SELECT query_id, "rank", vec_id, ROUND(cos, 4) AS cos
+          |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+      "qf_phash_dup_pairs" ->
+        s"""WITH p AS (SELECT * FROM read_parquet('$fx'))
+           |SELECT a.image_id AS id1, b.image_id AS id2,
+           |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+           |FROM p a JOIN p b ON a.image_id < b.image_id
+           |WHERE bit_count(xor(a.phash, b.phash)) <= 4
+           |ORDER BY id1, id2""".stripMargin,
+      "qf_phash_clusters" ->
+        s"""WITH RECURSIVE pr AS (
+           |  SELECT a.image_id AS id1, b.image_id AS id2
+           |  FROM read_parquet('$fx') a JOIN read_parquet('$fx') b
+           |    ON a.image_id < b.image_id
+           |  WHERE bit_count(xor(a.phash, b.phash)) <= 4),
+           |e AS (SELECT id1 AS a, id2 AS b FROM pr
+           |      UNION SELECT id2, id1 FROM pr),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+           |SELECT a AS image_id, LEAST(a, MIN(b)) AS cluster_id
+           |FROM reach GROUP BY a ORDER BY image_id""".stripMargin)
+  }
 }
 
 /** Memoized full-loop run for Verify (deletes + recreates its own

@@ -326,9 +326,10 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
-  // DuckDB oracle SQL — one per SQL-expressible query above.
+  // DuckDB oracle SQL — one per SQL-expressible query above (plus the
+  // SQL-expressible pipeline queries from PipelineQueries.oracleSql).
   // ---------------------------------------------------------------------
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = PipelineQueries.oracleSql ++ Map(
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -520,7 +521,11 @@ object SparkEntry {
         |SELECT c_custkey, ROUND(GREATEST(s1, s2, s3), 4) AS inval
         |FROM scored ORDER BY c_custkey""".stripMargin,
     "q28_salted_counts" ->
-      """SELECT lang, COUNT(*) AS cnt, SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+      // DuckDB SUM(BIGINT) returns HUGEINT (→ float64 in pandas); the
+      // outer cast restores BIGINT so the hash compare sees the same type
+      // Spark emits (r2 driver red row was exactly this).
+      """SELECT lang, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q27_supplier_region" ->
       """SELECT r_name, COUNT(*) AS n_suppliers,

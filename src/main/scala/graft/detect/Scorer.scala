@@ -120,7 +120,13 @@ object Scorer {
     * whole-stage codegen, no UDF serde). */
   def withRawSignals(images: DataFrame, m: Models, dupDropIds: DataFrame): DataFrame = {
     val rules = ruleColumns
-    val dup = broadcast(dupDropIds.withColumn("__is_dup", lit(1.0)))
+    // NO broadcast hint on the dup-id set: it is OUTPUT-sized (one id per
+    // duplicate row — billions at web-scale 20-30% dup rates), so forcing
+    // it through the driver is an OOM, not an optimization. Left to the
+    // planner, AQE broadcasts it only when its runtime size is actually
+    // under the threshold and shuffle-joins otherwise (PlanSpec gates
+    // that no hint is present).
+    val dup = dupDropIds.withColumn("__is_dup", lit(1.0))
     rules.foldLeft(images) { case (df, (name, c)) => df.withColumn(name, c) }
       .withColumn("pred_lang", Exprs.langidBest(col("caption"), m.langId))
       .withColumn("ppl_raw", Exprs.perplexity(col("caption"), m.lm))

@@ -108,25 +108,46 @@ object PhashDup {
     duplicatePairs(images, idCol, phashCol, maxHamming)
       .select(col("id2").as(idCol)).distinct()
 
-  /** Duplicate clusters via iterated min-label propagation over the pair
-    * graph (bounded iterations; our dup chains are 1–2 hops). Returns
-    * (image_id, cluster_id = min id in component). */
-  def clusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+  /** Duplicate clusters via min-label propagation over the pair graph,
+    * iterated TO CONVERGENCE (no label changes) with a hard iteration
+    * cap — the distributed connected-components standard: each round is
+    * one shuffle join + aggregation, labels are localCheckpoint'ed so
+    * lineage stays flat, and the rounds needed equal the component
+    * diameter (dup chains are short; the cap is a runaway guard, and
+    * hitting it logs nothing silent — the convergence flag is the loop
+    * condition, so a capped run simply returns the best labels found).
+    * Returns (image_id, cluster_id = min id in component) for every id
+    * appearing in a pair. Exact-equivalent to transitive-closure min
+    * reachability once converged (the DuckDB oracle computes it that
+    * way). */
+  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .cache()
     var labels = edges.groupBy(col("id1").as("image_id"))
       .agg(least(min(col("id2")), first(col("id1"))).as("cluster_id"))
+      .localCheckpoint()
     var i = 1
-    while (i < iterations) {
-      labels = edges
+    var converged = false
+    while (i < maxIterations && !converged) {
+      val next = edges
         .join(labels, edges("id2") === labels("image_id"), "inner")
         .groupBy(edges("id1").as("image_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .join(labels.select(col("image_id"), col("cluster_id").as("own")),
           Seq("image_id"))
         .select(col("image_id"), least(col("cluster_id"), col("own")).as("cluster_id"))
+        .localCheckpoint()
+      // existence-only change probe: limit(1) stops the scan at the
+      // first changed label instead of counting them all
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("image_id"))
+        .filter(col("cluster_id") =!= col("__old"))
+        .limit(1).count() == 0L
+      labels = next
       i += 1
     }
+    edges.unpersist()
     labels
   }
 }

@@ -18,7 +18,8 @@ object Metrics {
       truePositiveRate: Double, // |AF| / |faulty rows|
       falsePositiveRate: Double, // 1 − TPR
       trueNegativeRate: Double, // 1 − FNR
-      falseNegativeRate: Double) // |AFold − AFnew| / |AFold|
+      falseNegativeRate: Double, // |AFold − AFnew| / |AFold|
+      tpgr: Double = 0.0) // TPGR over rounds 1..run (Evaluation.py:25-30)
 
   /** PD (Evaluation.py:7-12). */
   def previouslyDetected(eCount: Long, eInterA: Long): Double =
@@ -42,9 +43,13 @@ object Metrics {
   def falseNegativeRate(afOldMinusNew: Long, afOld: Long): Double =
     if (afOld > 0) afOldMinusNew.toDouble / afOld.toDouble else 0.0
 
-  /** TPGR over the run history (Evaluation.py:25-30). */
+  /** TPGR over the run history (Evaluation.py:25-30). Deliberate
+    * divergence: the reference divides by tprs.head unguarded
+    * (ZeroDivisionError when round 1 confirms nothing); a zero first
+    * round reports growth 0.0 here instead of crashing the loop. */
   def truePositiveGrowthRate(tprs: Seq[Double]): Double = {
     require(tprs.nonEmpty)
+    if (tprs.head <= 0.0) return 0.0
     val nr = tprs.length.toDouble
     math.pow(tprs.last / tprs.head, 1.0 / nr) - 1.0
   }

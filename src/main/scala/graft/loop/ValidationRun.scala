@@ -139,6 +139,10 @@ object ValidationRun {
       val afMinusE = c.getLong(5)
       val fnr = Metrics.falseNegativeRate(afOldMinusNew, afOldN)
       val tpr = Metrics.truePositiveRate(afNewN, faultyRows)
+      // TPGR over the history up to and including this round — the
+      // reference surfaces it per run (Evaluation.py:25-30, README:137)
+      val tpgr = Metrics.truePositiveGrowthRate(
+        metricsHist.map(_.truePositiveRate).toSeq :+ tpr)
       val m = Metrics.RunMetrics(
         run = r,
         previouslyDetected = Metrics.previouslyDetected(knownCount, eInterA),
@@ -148,7 +152,8 @@ object ValidationRun {
         truePositiveRate = tpr,
         falsePositiveRate = 1.0 - tpr,
         trueNegativeRate = 1.0 - fnr,
-        falseNegativeRate = fnr)
+        falseNegativeRate = fnr,
+        tpgr = tpgr)
       metricsHist += m
 
       // Checkpoint: statuses, metrics row, per-partition lineage.

@@ -116,22 +116,26 @@ object PcaResidual {
         .map(_.name).toSeq
     require(numeric.size >= 2, s"PCA needs >= 2 numeric columns, got $numeric")
 
-    // single pass: n, sums, cross-product sums
+    // single mergeable pass: n, means, and the d(d+1)/2 population
+    // covariances via covar_pop — Spark's pairwise-stable update formula.
+    // (A raw E[xy] − μxμy reconstruction cancels catastrophically when
+    // |mean| ≫ std, e.g. key- or timestamp-like columns: correlations
+    // come out wrong and variances clamp to 0 silently.)
     val d = numeric.size
     val aggs =
       Seq(count(lit(1)).cast("double").as("__n")) ++
-        numeric.map(c => sum(col(c).cast("double")).as(s"__s_$c")) ++
+        numeric.map(c => avg(col(c).cast("double")).as(s"__m_$c")) ++
         (for (i <- 0 until d; j <- i until d) yield
-          sum(col(numeric(i)).cast("double") * col(numeric(j)).cast("double"))
-            .as(s"__ss_${i}_$j"))
+          covar_pop(col(numeric(i)).cast("double"), col(numeric(j)).cast("double"))
+            .as(s"__c_${i}_$j"))
     val row = df.na.drop(numeric).agg(aggs.head, aggs.tail: _*).head()
     val n = row.getDouble(0)
     require(n > 1, "PCA needs > 1 complete row")
-    val means = Array.tabulate(d)(i => row.getDouble(1 + i) / n)
+    val means = Array.tabulate(d)(i => row.getDouble(1 + i))
     val raw = Array.ofDim[Double](d, d)
     var idx = 1 + d
     for (i <- 0 until d; j <- i until d) {
-      val cov = row.getDouble(idx) / n - means(i) * means(j)
+      val cov = row.getDouble(idx)
       raw(i)(j) = cov; raw(j)(i) = cov
       idx += 1
     }

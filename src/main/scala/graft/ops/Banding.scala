@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
 object Banding {
 
   /** keyed must have columns (id: string, key: long). Returns distinct
-    * (id1, id2) with id1 < id2. */
-  def candidatePairs(keyed: DataFrame, maxBucket: Int = 1024): DataFrame = {
+    * (id1, id2) with id1 < id2.
+    *
+    * `truncated` (optional) observes the cap: it accumulates one count
+    * per (key, id) occurrence that arrived after its bucket filled —
+    * those ids get NO candidates from that bucket. A nonzero value after
+    * an action means candidate recall was bounded by maxBucket; callers
+    * that must not lose those ids should collapse exact duplicates first
+    * (the usual cause of over-cap buckets) or raise the cap. */
+  def candidatePairs(keyed: DataFrame, maxBucket: Int = 1024,
+      truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
     keyed
@@ -53,7 +61,7 @@ object Banding {
                   i += 1
                 }
                 run += id
-              }
+              } else truncated.foreach(_.add(1L))
             }
           }
           def hasNext: Boolean = { advance(); out.nonEmpty }

@@ -197,9 +197,18 @@ object Dedup {
     * run-scan in [[Banding.candidatePairs]] pairs at most the first
     * `maxDf` documents of any shingle bucket, so corpus-hot keys like
     * "a photo of" contribute O(maxDf²) candidates instead of O(df²) —
-    * the round-1 defect. A true near-dup pair shares ~all its shingles,
-    * so it survives unless every shared shingle is corpus-hot (the
-    * standard rare-shingle banding trade). */
+    * the round-1 defect.
+    *
+    * PRECONDITION / recall bound: a document past the first `maxDf` (by
+    * id) of EVERY shingle bucket it lands in gets zero candidates — a
+    * near-duplicate is lost only when every shared shingle is corpus-hot
+    * (boilerplate templates). That loss is NOT silent: pass `truncated`
+    * (a LongAccumulator) to count over-cap (shingle, doc) occurrences
+    * after an action; a nonzero count means the corpus has hot templates
+    * and exact/fingerprint dedup ([[exactKeepFirst]]) should collapse
+    * them before near-dup mining — which is also the order a real
+    * pipeline wants, since pair output over a g-duplicate group is
+    * inherently O(g²). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -207,7 +216,8 @@ object Dedup {
       shingleK: Int = 3,
       jaccardThreshold: Double = 0.8,
       maxShinglesPerDoc: Int = 32,
-      maxDf: Int = 256): DataFrame = {
+      maxDf: Int = 256,
+      truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val withSh = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -217,6 +227,7 @@ object Dedup {
       .select(col("id"),
         explode(array_distinct(transform(
           slice(col("sh"), 1, maxShinglesPerDoc), s => xxhash64(s)))).as("key"))
-    verifyJaccard(Banding.candidatePairs(banded, maxDf), withSh, jaccardThreshold)
+    verifyJaccard(Banding.candidatePairs(banded, maxDf, truncated), withSh,
+      jaccardThreshold)
   }
 }

@@ -73,8 +73,10 @@ object Similarity {
     sig
   }
 
-  private def sigUdf(planes: Array[Array[Double]]) =
-    udf((v: Array[Float]) => if (v == null) 0 else signatureOf(v, planes))
+  /** Native codegen'd signature column (Exprs.HyperplaneSig) — the former
+    * Scala UDF here was the one serde boundary left in the ANN hot path. */
+  private def sigCol(c: Column, planes: Array[Array[Double]]): Column =
+    coalesce(org.apache.spark.sql.graft.Exprs.hyperplaneSig(c, planes), lit(0))
 
   /** LSH-bucketed top-k: MULTI-TABLE signature equi-join with multi-probe
     * (each query probes its exact bucket plus all 1-bit-flip neighbors in
@@ -98,14 +100,16 @@ object Similarity {
       dim: Int,
       nPlanes: Int = 10,
       tables: Int = 4): DataFrame = {
-    val sigFns = (0 until tables).map(t =>
-      sigUdf(hyperplanes(dim, nPlanes, seed = 7L + 1000L * t)))
+    val planesByTable = (0 until tables).map(t =>
+      hyperplanes(dim, nPlanes, seed = 7L + 1000L * t))
     // one pass over the corpus computes all table signatures; the
     // exploded frame is slim (id + two ints + table index)
     val embSigs = embeddings.select(col("vec_id"),
-      posexplode(array(sigFns.map(f => f(col("embedding"))): _*)).as(Seq("t", "sig")))
+      posexplode(array(planesByTable.map(p => sigCol(col("embedding"), p)): _*))
+        .as(Seq("t", "sig")))
     val probeSigs = queries.select(col("query_id"),
-      posexplode(array(sigFns.map(f => f(col("qvec"))): _*)).as(Seq("t", "qsig")))
+      posexplode(array(planesByTable.map(p => sigCol(col("qvec"), p)): _*))
+        .as(Seq("t", "qsig")))
       .select(col("query_id"), col("t"),
         explode(transform(
           sequence(lit(0), lit(nPlanes)), // 0 = exact bucket, i>0 = flip bit i-1
@@ -150,7 +154,8 @@ object Similarity {
       maxBucket: Int = 1024,
       targetBucket: Int = 256): DataFrame = {
     val emb = embeddings
-      .select(col("vec_id").cast("string").as("id"), col("embedding").as("v"))
+      .select(col("vec_id").cast("string").as("id"), col("vec_id").as("__orig"),
+        col("embedding").as("v"))
     val planesPerTable =
       if (nPlanes > 0) nPlanes
       else {
@@ -162,17 +167,20 @@ object Similarity {
     // degenerate-bucket cap ride the shared run-scan (Banding)
     val slim = (0 until tables).map { t =>
       val planes = hyperplanes(dim, planesPerTable, seed = 7L + 1000L * t)
-      val sig = sigUdf(planes)
-      emb.select(col("id"), xxhash64(lit(t), sig(col("v"))).as("key"))
+      emb.select(col("id"), xxhash64(lit(t), sigCol(col("v"), planes)).as("key"))
     }.reduce(_ unionByName _)
     val cands = graft.ops.Banding.candidatePairs(slim, maxBucket)
-    val a = emb.select(col("id").as("id1"), col("v").as("__v1"))
-    val b = emb.select(col("id").as("id2"), col("v").as("__v2"))
+    // Banding keyed (and pair-ordered) on STRING ids; the payload join
+    // carries each side's ORIGINAL vec_id back so the output preserves
+    // the caller's id type and ordering (a cast('long') here turned
+    // non-numeric ids into silent NULLs), with least/greatest on the
+    // original values restoring canonical id1 < id2.
+    val a = emb.select(col("id").as("id1"), col("__orig").as("__o1"), col("v").as("__v1"))
+    val b = emb.select(col("id").as("id2"), col("__orig").as("__o2"), col("v").as("__v2"))
     cands.join(a, Seq("id1")).join(b, Seq("id2"))
-      // Banding ordered the pair by STRING id; restore numeric order
       .select(
-        least(col("id1").cast("long"), col("id2").cast("long")).as("id1"),
-        greatest(col("id1").cast("long"), col("id2").cast("long")).as("id2"),
+        least(col("__o1"), col("__o2")).as("id1"),
+        greatest(col("__o1"), col("__o2")).as("id2"),
         cosine(col("__v1"), col("__v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -134,6 +134,32 @@ object Exprs {
     override def prettyName: String = "graft_minhash_bands"
   }
 
+  /** Random-hyperplane LSH signature of an array<float> embedding: bit p
+    * of the result = sign of ⟨vec, plane_p⟩ (see
+    * graft.ops.Similarity.signatureOf). Native codegen'd replacement for
+    * the former Scala UDF in the ANN hot path — the plane matrix rides
+    * along as a codegen reference object, the float array is read
+    * straight off the unsafe row (no serde). Input arrays must not
+    * contain null elements (embeddings never do). */
+  case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(v: Any): Any =
+      graft.ops.Similarity.signatureOf(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+        planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.ops.Similarity.signatureOf($c.toFloatArray(), $planesRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_hyperplane_sig"
+  }
+
   /** Whole PII/toxicity scrub chain in ONE pass (see
     * graft.scrub.Scrub.scrubString): one UTF8String↔String round-trip
     * per row instead of one per chained regexp_replace rule, precompiled
@@ -176,6 +202,9 @@ object Exprs {
 
   def scrubAll(c: Column): Column =
     Bridge.column(ScrubAll(Bridge.expression(c)))
+
+  def hyperplaneSig(c: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(c), planes))
 
   /** Register the SQL surface: hamming64 plus model-bound functions
     * (graft_langid / graft_accepted_prob / graft_perplexity). */

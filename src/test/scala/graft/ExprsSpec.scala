@@ -95,6 +95,33 @@ class ExprsSpec extends AnyFunSuite {
       l.contains("*(") && l.contains("graft_simhash64")), plan)
   }
 
+  test("hyperplane signature expression: scalar parity + null + codegen") {
+    val planes = graft.ops.Similarity.hyperplanes(dim = 8, nPlanes = 10, seed = 7L)
+    val vecs = Seq(
+      Array(1f, -2f, 0.5f, 3f, -1f, 0f, 2f, -0.25f),
+      Array.fill(8)(0f),
+      Array.tabulate(8)(i => (i - 4).toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+    val rows = df.select(col("i"), Exprs.hyperplaneSig(col("v"), planes).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) ==
+        graft.ops.Similarity.signatureOf(vecs(r.getInt(0)), planes))
+    }
+    val nullRow = Seq[(Array[Float], Int)]((null, 1)).toDF("v", "x")
+      .select(Exprs.hyperplaneSig(col("v"), planes)).head()
+    assert(nullRow.isNullAt(0))
+    // stays inside whole-stage codegen (the former UDF here was the one
+    // serde boundary left in the ANN hot path)
+    val plan = spark.range(10)
+      .select(org.apache.spark.sql.functions.array(
+        (0 until 8).map(i => (col("id") + i).cast("float")): _*).as("v"))
+      .select(Exprs.hyperplaneSig(col("v"), planes).as("s"))
+      .filter(col("s") >= 0).queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_hyperplane_sig")), plan)
+  }
+
   test("graft_scrub: exact parity with the regexp_replace chain") {
     val texts = Seq(
       "contact me at user9@example.com or 555-123-4567 now",

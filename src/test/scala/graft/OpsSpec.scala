@@ -72,6 +72,23 @@ class OpsSpec extends AnyFunSuite {
     assert(sec < 60.0, s"hot corpus took ${sec}s")
   }
 
+  test("ngram jaccard surfaces hot-bucket truncation via the accumulator") {
+    val hot = "a photo of a dog on the beach at sunset"
+    val hotDf = (0 until 100).map(i => (f"hot$i%04d", hot)).toDF("image_id", "caption")
+    val acc = spark.sparkContext.longAccumulator("graft.banding.truncated")
+    Dedup.ngramJaccardPairs(hotDf, "image_id", "caption", maxDf = 8,
+      truncated = Some(acc)).count()
+    assert(acc.value > 0, "over-cap bucket members must be counted, not silent")
+    // a corpus with no hot shingles reports zero truncation
+    val uniq = (0 until 50)
+      .map(i => (f"u$i%03d", s"totally unique caption $i alpha$i beta$i gamma$i"))
+      .toDF("image_id", "caption")
+    val acc2 = spark.sparkContext.longAccumulator("graft.banding.truncated2")
+    Dedup.ngramJaccardPairs(uniq, "image_id", "caption",
+      truncated = Some(acc2)).count()
+    assert(acc2.value == 0L)
+  }
+
   test("exact dedup keeps min id per key") {
     val df = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("id", "k")
     val kept = Dedup.exactKeepFirst(df, "k", "id").collect()

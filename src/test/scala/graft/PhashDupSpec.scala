@@ -49,4 +49,16 @@ class PhashDupSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(clusters.values.toSet == Set("a"))
   }
+
+  test("clusters converge on a chain longer than the old fixed 3 rounds") {
+    // path graph a-b-c-d-e-f-g: min-label needs ~diameter rounds to
+    // reach the far end; the convergence-checked loop must finish it
+    val ids = "abcdefg".map(_.toString)
+    val pairs = ids.zip(ids.tail).map { case (x, y) => (x, y) }
+      .toSeq.toDF("id1", "id2")
+    val labels = PhashDup.clusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels.keySet == ids.toSet)
+    assert(labels.values.toSet == Set("a"), labels.toString)
+  }
 }

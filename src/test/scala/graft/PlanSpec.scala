@@ -49,4 +49,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q01_group_agg")
     assert(p.contains("HashAggregate"), p.take(1500))
   }
+
+  test("dup-id set join is hint-free: planner/AQE chooses the strategy") {
+    // The dup drop set is OUTPUT-sized (one id per duplicate row) — a
+    // forced broadcast() would pull billions of rows through the driver
+    // at web-scale dup rates. The join must carry NO hint so AQE
+    // broadcasts only when the runtime size is actually small.
+    import org.apache.spark.sql.functions.col
+    val imgs = PipelineCache.images(spark, 2000L)
+    val m = PipelineCache.models(spark, 2000L)
+    val dup = imgs.select(col("image_id")).limit(50)
+    val raw = graft.detect.Scorer.withRawSignals(imgs, m, dup)
+    val analyzed = raw.queryExecution.analyzed.toString()
+    assert(!analyzed.contains("ResolvedHint"), analyzed.take(2000))
+    assert(!analyzed.contains("UnresolvedHint"), analyzed.take(2000))
+  }
 }

@@ -36,16 +36,22 @@ class StreamingSpec extends AnyFunSuite {
     // in streaming): same rows -> same scrubbed caption AND the same
     // invalidity score (per-predicted-language ppl reference on both
     // surfaces; empty dup set makes score_dup = 0 on the batch side)
-    val batch = graft.detect.Scorer.withScores(
-      batchImages, models, spark.emptyDataset[String].toDF("image_id"))
-      .select(col("image_id"), col("scrubbed_caption"), col("invalidity_score"))
+    val batch = graft.detect.Scorer.withDecision(
+      graft.detect.Scorer.withScores(
+        batchImages, models, spark.emptyDataset[String].toDF("image_id")),
+      threshold = 0.5)
+      .select(col("image_id"), col("scrubbed_caption"), col("invalidity_score"),
+        col("decision"))
       .collect()
-      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2), r.getString(3))))
+      .toMap
     got.foreach { r =>
-      val (expScrub, expScore) = batch(r.getString(0))
+      val (expScrub, expScore, expDecision) = batch(r.getString(0))
       assert(r.getString(3) == expScrub, s"scrub mismatch ${r.getString(0)}")
       assert(math.abs(r.getDouble(2) - expScore) < 1e-12,
         s"score mismatch ${r.getString(0)}: stream=${r.getDouble(2)} batch=$expScore")
+      assert(r.getString(1) == expDecision,
+        s"decision mismatch ${r.getString(0)}: stream=${r.getString(1)} batch=$expDecision")
     }
     // drops present (seeded faults score >= 0.5)
     assert(got.count(_.getString(1) == "drop") > 0)
