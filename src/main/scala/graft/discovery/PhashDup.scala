@@ -28,7 +28,18 @@ object PhashDup {
       images: DataFrame,
       idCol: String = "image_id",
       phashCol: String = "phash",
-      maxHamming: Int = 4): DataFrame = {
+      maxHamming: Int = 4): DataFrame =
+    rawPairs(images, idCol, phashCol, maxHamming).distinct()
+
+  /** Pair stream BEFORE the final distinct: a pair sharing k intact
+    * block-pairs is emitted k times. [[dropIds]] consumes this directly —
+    * its own id-level distinct subsumes the pair-level one, saving a
+    * full shuffle of the pair set. */
+  private def rawPairs(
+      images: DataFrame,
+      idCol: String,
+      phashCol: String,
+      maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 2
     val bits = 64 / blocks // block width (floor; last block takes the rest)
     val blockExprs = (0 until blocks).map { i =>
@@ -98,14 +109,15 @@ object PhashDup {
         }
       }
       .toDF("id1", "id2", "hamming")
-      .distinct()
   }
 
   /** Ids to drop: for every verified pair keep the smaller id
-    * (keep-first dedup). Returns a single-column frame `image_id`. */
+    * (keep-first dedup). Returns a single-column frame `image_id`.
+    * Consumes the raw (pre-distinct) pair stream — the id-level
+    * distinct below subsumes pair-level dedup. */
   def dropIds(images: DataFrame, idCol: String = "image_id",
       phashCol: String = "phash", maxHamming: Int = 4): DataFrame =
-    duplicatePairs(images, idCol, phashCol, maxHamming)
+    rawPairs(images, idCol, phashCol, maxHamming)
       .select(col("id2").as(idCol)).distinct()
 
   /** Duplicate clusters via min-label propagation over the pair graph,
