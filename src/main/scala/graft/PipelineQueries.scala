@@ -71,6 +71,31 @@ object PipelineQueries {
     PipelineCache.images(s, N).select(col("image_id"), col("phash"))
       .coalesce(1).write.mode("overwrite").parquet(phashFixturePath)
 
+  /** (image_id, simhash64(caption)) fixture for the simhash-dedup
+    * oracle — the engine's banding has GUARANTEED recall at
+    * Hamming ≤ 3, so DuckDB's O(n²) Hamming join over the fixture is an
+    * exact oracle (same argument as the phash oracle). */
+  private[graft] def simhashFixturePath: String =
+    new java.io.File("target/verify-fixtures/simhash_input.parquet").getAbsolutePath
+
+  private def writeSimhashFixture(s: SparkSession): Unit =
+    PipelineCache.images(s, N)
+      .select(col("image_id"),
+        org.apache.spark.sql.graft.Exprs.simhash64(col("caption")).as("simhash"))
+      .coalesce(1).write.mode("overwrite").parquet(simhashFixturePath)
+
+  /** (image_id, caption) fixture for the n-gram Jaccard oracle: the
+    * operator's candidate rule (distinct shingles among the first 32
+    * positions, per-shingle df cap by id rank) and the exact-Jaccard
+    * verify are both deterministic and SQL-expressible, so DuckDB can
+    * recompute the full result from the raw captions. */
+  private[graft] def captionFixturePath: String =
+    new java.io.File("target/verify-fixtures/caption_input.parquet").getAbsolutePath
+
+  private def writeCaptionFixture(s: SparkSession): Unit =
+    PipelineCache.images(s, N).select(col("image_id"), col("caption"))
+      .coalesce(1).write.mode("overwrite").parquet(captionFixturePath)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M5–M8 + P3: full score → threshold → keep/drop pass
     "qf_decisions" -> ((s, _) =>
@@ -149,17 +174,25 @@ object PipelineQueries {
         PipelineCache.images(s, N), "image_id", "caption")
         .orderBy("id1", "id2")),
 
-    // Dedup: SimHash fingerprint + Hamming banding
-    "qf_dedup_simhash" -> ((s, _) =>
+    // Dedup: SimHash fingerprint + Hamming banding (hash-checked: the
+    // DuckDB oracle recomputes all pairs O(n²) over the fingerprint
+    // fixture — guaranteed-recall banding must lose nothing)
+    "qf_dedup_simhash" -> ((s, _) => {
+      writeSimhashFixture(s)
       graft.ops.Dedup.simhashPairs(
         PipelineCache.images(s, N), "image_id", "caption")
-        .orderBy("id1", "id2")),
+        .orderBy("id1", "id2")
+    }),
 
     // Dedup: n-gram Jaccard verification over shingle-band candidates
-    "qf_dedup_ngram" -> ((s, _) =>
+    // (hash-checked: candidate rule + exact Jaccard recomputed in SQL
+    // over the caption fixture)
+    "qf_dedup_ngram" -> ((s, _) => {
+      writeCaptionFixture(s)
       graft.ops.Dedup.ngramJaccardPairs(
         PipelineCache.images(s, N), "image_id", "caption")
-        .orderBy("id1", "id2")),
+        .orderBy("id1", "id2")
+    }),
 
     // Dedup: embedding-cosine near-dup via hyperplane-LSH buckets
     "qf_dedup_embedding" -> ((s, _) => {
@@ -280,10 +313,56 @@ object PipelineQueries {
     * oracles read the parquet fixture [[writePhashFixture]] emits during
     * Verify (same absolute path, computed at dump time). */
   def oracleSql: Map[String, String] = {
-    // Spark writes the fixture as a directory of part files — the DuckDB
-    // reader needs the glob
+    // Spark writes the fixtures as directories of part files — the
+    // DuckDB reader needs the glob
     val fx = phashFixturePath.replace("'", "''") + "/*.parquet"
+    val sfx = simhashFixturePath.replace("'", "''") + "/*.parquet"
+    val cfx = captionFixturePath.replace("'", "''") + "/*.parquet"
     Map(
+      // Recomputes Dedup.ngramJaccardPairs from raw captions: 3-shingles
+      // over whitespace-split lower(trim(caption)); candidates = pairs
+      // sharing a distinct shingle from the first 32 positions with BOTH
+      // ids in the shingle's first `maxDf`=256 by id (the run-scan cap);
+      // verify = exact Jaccard over distinct shingle sets >= 0.8.
+      "qf_dedup_ngram" ->
+        s"""WITH d AS (
+           |  SELECT image_id AS id,
+           |         string_split_regex(trim(lower(caption)), '\\s+') AS toks
+           |  FROM read_parquet('$cfx')),
+           |sh AS (
+           |  SELECT id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+           |  FROM d, UNNEST(RANGE(1, len(toks) - 1)) AS r(i)
+           |  WHERE len(toks) >= 3),
+           |sets AS (SELECT id, COUNT(DISTINCT s) AS n FROM sh GROUP BY id),
+           |band AS (SELECT DISTINCT id, s FROM sh WHERE i <= 32),
+           |ranked AS (
+           |  SELECT id, s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) AS rn
+           |  FROM band),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id1, b.id AS id2
+           |  FROM ranked a JOIN ranked b ON a.s = b.s AND a.id < b.id
+           |  WHERE a.rn <= 256 AND b.rn <= 256),
+           |ds AS (SELECT DISTINCT id, s FROM sh),
+           |inter AS (
+           |  SELECT c.id1, c.id2, COUNT(*) AS c
+           |  FROM cand c
+           |  JOIN ds x ON x.id = c.id1
+           |  JOIN ds y ON y.id = c.id2 AND y.s = x.s
+           |  GROUP BY c.id1, c.id2)
+           |SELECT i.id1, i.id2,
+           |  CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS jaccard
+           |FROM inter i
+           |JOIN sets na ON na.id = i.id1
+           |JOIN sets nb ON nb.id = i.id2
+           |WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.8
+           |ORDER BY id1, id2""".stripMargin,
+      "qf_dedup_simhash" ->
+        s"""WITH p AS (SELECT * FROM read_parquet('$sfx'))
+           |SELECT a.image_id AS id1, b.image_id AS id2,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM p a JOIN p b ON a.image_id < b.image_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY id1, id2""".stripMargin,
       "qf_ann_brute" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
           |           FROM embeddings WHERE vec_id < 3),
