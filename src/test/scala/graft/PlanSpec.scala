@@ -50,6 +50,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(1500))
   }
 
+  test("flagship validate pass: scoring runs codegen'd, dup join broadcasts, no extra shuffle") {
+    import org.apache.spark.sql.functions.col
+    val imgs = PipelineCache.images(spark, 2000L)
+    val m = PipelineCache.models(spark, 2000L)
+    val dup = graft.discovery.PhashDup.dropIds(imgs).cache()
+    dup.count() // discovered set materialized (as the pipeline does)
+    val validate = graft.detect.Scorer.withDecision(
+      graft.detect.Scorer.withScores(imgs, m, dup), 0.5)
+      .filter(col("decision") === "drop")
+    validate.collect()
+    val p = validate.queryExecution.executedPlan.toString()
+    // the discovered dup set is small here → AQE must broadcast, never
+    // sort-merge (no forced hint: at scale a huge set may legitimately
+    // shuffle — PlanSpec only pins the small-set behavior)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // the scoring expressions stay inside whole-stage codegen
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_scrub")), p.take(3000))
+    dup.unpersist()
+  }
+
   test("dup-id set join is hint-free: planner/AQE chooses the strategy") {
     // The dup drop set is OUTPUT-sized (one id per duplicate row) — a
     // forced broadcast() would pull billions of rows through the driver
