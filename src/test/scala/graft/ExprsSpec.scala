@@ -142,6 +142,30 @@ class ExprsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("GraftExtensions: injector applies cleanly and its builders evaluate") {
+    // apply() must register every function without throwing (the
+    // spark-submit path: --conf spark.sql.extensions=graft.GraftExtensions)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // a second session with different extensions can't be built in a
+    // shared-JVM test; drive the SAME (name, builder) triples through
+    // the live session's registry and assert SQL-level parity
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name + "_ext", builder, "scala_udf")
+    }
+    val r = spark.sql(
+      """SELECT hamming64_ext(15L, 1L) AS h,
+        |  graft_simhash64_ext('a photo of a dog') AS sh,
+        |  graft_scrub_ext('mail user9@example.com now') AS sc,
+        |  size(graft_minhash_bands_ext('a b c d e', 3, 64, 16)) AS nb
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == graft.ops.Dedup.simhash64("a photo of a dog"))
+    assert(r.getString(2) == graft.scrub.Scrub.scrubString("mail user9@example.com now"))
+    assert(r.getInt(3) == 16)
+  }
+
   test("SQL registration: functions callable from spark.sql") {
     Exprs.registerSql(spark, langIdB, lmB)
     val out = spark.sql(
