@@ -215,6 +215,24 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Similarity: IVF ANN (second scale path — KMeans coarse quantizer,
+    // native nearest-centroid assign, nprobe-list search) recall vs
+    // brute force on the clustered fixture (IVF earns its keep where
+    // the corpus HAS cluster structure; see ivfTopK doc)
+    "qf_ann_ivf_recall" -> ((s, _) => {
+      val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L).cache()
+      val queries = emb.filter(col("vec_id").isin(0L, 7L, 42L, 101L, 333L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 5)
+        .select("query_id", "vec_id")
+      val ivf = graft.ops.Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+        .select("query_id", "vec_id")
+      brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("hits_of_5"))
+        .orderBy("query_id")
+    }),
+
     // Similarity: LSH-bucketed ANN (the 10^12-scale path) + its recall
     // against the brute-force baseline
     "qf_ann_lsh_recall" -> ((s, d) => {

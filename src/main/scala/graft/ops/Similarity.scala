@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.synth.ImageGen
@@ -123,6 +123,108 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     cands
       .join(embeddings, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** Nearest centroid index by maximum adjusted dot product
+    * (argmin ||v−c||² = argmax c·v − ||c||²/2) — scalar helper behind
+    * the native [[org.apache.spark.sql.graft.Exprs.NearestCentroid]]
+    * expression. `halfNorms(i)` must be ||centroids(i)||²/2. */
+  def nearestCentroid(vec: Array[Float], centroids: Array[Array[Double]],
+      halfNorms: Array[Double]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var s = 0.0
+      var d = 0
+      val n = math.min(c.length, vec.length)
+      while (d < n) { s += c(d) * vec(d); d += 1 }
+      s -= halfNorms(i)
+      if (s > bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** IVF (inverted-file) ANN top-k — the second scale path next to
+    * [[lshTopK]], the FAISS-IVF shape re-expressed Spark-first:
+    *
+    *  1. COARSE QUANTIZER: KMeans over a bounded deterministic sample
+    *     (top-`maxFit` by id-hash — the fit is O(maxFit·nlist) at any
+    *     corpus size; same policy as ClusterExplainer.fitSample).
+    *  2. ASSIGN: one partition-parallel pass tags every vector with its
+    *     nearest centroid list via a native codegen'd expression (the
+    *     centroid matrix rides along as a codegen reference — no MLlib
+    *     vector conversion on the big side, no UDF serde).
+    *  3. PROBE: each query searches only its `nprobe` nearest lists
+    *     (computed driver-side over the broadcast query set — queries
+    *     are small by contract); candidates = equi-join on list id,
+    *     exact cosine + per-query window top-k over ~nprobe/nlist of
+    *     the corpus.
+    *
+    * Recall comes from cluster structure: a query's true neighbors live
+    * in its own (and adjacent) lists. For corpora with NO structure
+    * (near-uniform vectors) candidate recall degrades toward
+    * nprobe/nlist — the same honesty note as [[lshTopK]]; brute force
+    * is the fallback there. */
+  def ivfTopK(
+      embeddings: DataFrame, // (vec_id, embedding)
+      queries: DataFrame, // (query_id, qvec)
+      k: Int,
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      seed: Long = 42L,
+      maxFit: Int = 20000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // 1. coarse quantizer on a bounded sample
+    val sample = embeddings
+      .orderBy(xxhash64(col("vec_id"))).limit(maxFit)
+      .select(col("embedding")).as[Array[Float]]
+      .map(a => Tuple1(org.apache.spark.ml.linalg.Vectors.dense(
+        a.map(_.toDouble))))
+      .toDF("features").coalesce(1).cache()
+    val n = sample.count()
+    val kk = math.max(2, math.min(nlist.toLong, n).toInt)
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(kk).setSeed(seed).setMaxIter(10).fit(sample)
+    sample.unpersist()
+    val centroids = km.clusterCenters.map(_.toArray)
+    val halfNorms = centroids.map(c => c.map(x => x * x).sum / 2.0)
+    // 2. partition-parallel assignment, native expression
+    val listOf = org.apache.spark.sql.graft.Exprs
+      .nearestCentroid(col("embedding"), centroids, halfNorms)
+    val assigned = embeddings.withColumn("__list", listOf)
+    // 3. probes: driver-side over the (small) query set
+    val probeRows = queries.select(col("query_id"), col("qvec")).collect().flatMap { r =>
+      val q = r.getSeq[Float](1).toArray
+      val scored = centroids.indices.map { i =>
+        var s = 0.0
+        val c = centroids(i)
+        val m = math.min(c.length, q.length)
+        var d = 0
+        while (d < m) { s += c(d) * q(d); d += 1 }
+        i -> (s - halfNorms(i))
+      }
+      scored.sortBy(-_._2).take(math.min(nprobe, centroids.length))
+        .map { case (list, _) => (r.get(0), list) }
+    }
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toSeq.map(p => Row(p._1, p._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema("query_id").dataType),
+        org.apache.spark.sql.types.StructField("__list",
+          org.apache.spark.sql.types.IntegerType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("__list"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("cos", cosine(col("embedding"), col("qvec")))
       .withColumn("rank", row_number().over(w))

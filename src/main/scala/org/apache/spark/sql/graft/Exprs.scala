@@ -160,6 +160,33 @@ object Exprs {
     override def prettyName: String = "graft_hyperplane_sig"
   }
 
+  /** Nearest-centroid list id for an array<float> embedding (IVF coarse
+    * quantization): argmax over centroids of ⟨vec, c_i⟩ − ||c_i||²/2
+    * (= argmin L2). The centroid matrix and precomputed half-norms ride
+    * along as codegen reference objects — the corpus-side IVF assign
+    * pass stays inside whole-stage codegen with no MLlib vector serde. */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
+      halfNorms: Array[Double])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(v: Any): Any =
+      graft.ops.Similarity.nearestCentroid(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+        centroids, halfNorms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centroidsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val normsRef = ctx.addReferenceObj("halfNorms", halfNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.ops.Similarity.nearestCentroid(
+           |  $c.toFloatArray(), $centroidsRef, $normsRef);""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_nearest_centroid"
+  }
+
   /** Whole PII/toxicity scrub chain in ONE pass (see
     * graft.scrub.Scrub.scrubString): one UTF8String↔String round-trip
     * per row instead of one per chained regexp_replace rule, precompiled
@@ -205,6 +232,10 @@ object Exprs {
 
   def hyperplaneSig(c: Column, planes: Array[Array[Double]]): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(c), planes))
+
+  def nearestCentroid(c: Column, centroids: Array[Array[Double]],
+      halfNorms: Array[Double]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(c), centroids, halfNorms))
 
   /** Register the SQL surface: hamming64 plus model-bound functions
     * (graft_langid / graft_accepted_prob / graft_perplexity). */

@@ -142,6 +142,32 @@ class ExprsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("nearest-centroid expression: scalar parity + null + codegen") {
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(-1.0, -1.0, 0.0))
+    val halfNorms = centroids.map(c => c.map(x => x * x).sum / 2.0)
+    val vecs = Seq(
+      Array(0.9f, 0.1f, 0f), Array(0.1f, 2.0f, 0f), Array(-3f, -3f, 0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+    val rows = df.select(col("i"),
+      Exprs.nearestCentroid(col("v"), centroids, halfNorms).as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == graft.ops.Similarity.nearestCentroid(
+        vecs(r.getInt(0)), centroids, halfNorms))
+    }
+    assert(rows.sortBy(_.getInt(0)).map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    val nullRow = Seq[(Array[Float], Int)]((null, 1)).toDF("v", "x")
+      .select(Exprs.nearestCentroid(col("v"), centroids, halfNorms)).head()
+    assert(nullRow.isNullAt(0))
+    val plan = spark.range(10)
+      .select(org.apache.spark.sql.functions.array(
+        (0 until 3).map(i => (col("id") + i).cast("float")): _*).as("v"))
+      .select(Exprs.nearestCentroid(col("v"), centroids, halfNorms).as("c"))
+      .filter(col("c") >= 0).queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_nearest_centroid")), plan)
+  }
+
   test("GraftExtensions: injector applies cleanly and its builders evaluate") {
     // apply() must register every function without throwing (the
     // spark-submit path: --conf spark.sql.extensions=graft.GraftExtensions)

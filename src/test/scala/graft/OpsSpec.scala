@@ -135,6 +135,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: self-neighbor found, recall >= 4/5 vs brute force on clustered corpus") {
+    val emb = Similarity.synthEmbeddings(spark, 2000L).cache()
+    val queries = emb.filter(col("vec_id").isin(0L, 7L, 42L, 101L, 333L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0L, 7L, 42L, 101L, 333L).foreach { q =>
+      assert(ivf.contains((q, q)), s"query $q must find itself")
+      val hits = brute.filter(_._1 == q).count(ivf.contains)
+      assert(hits >= 4, s"query $q IVF recall $hits/5 below gate")
+    }
+    emb.unpersist()
+  }
+
   test("LSH ANN recall gate: >= 4 of top-5 vs brute force on clustered corpus") {
     // the driver table is near-uniform random (neighbor cos ≈ 0.33 — the
     // regime where no LSH beats a scan; see lshTopK doc); the recall gate
