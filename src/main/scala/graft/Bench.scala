@@ -34,10 +34,11 @@ import graft.synth.{GenConfig, ImageGen}
   * derive from the calibration sample's measured wall clock (bounded by
   * static ceilings), so a slow window widens the caps instead of
   * killing every child. Reported `scaling_efficiency` = per-side NOISE
-  * FLOOR ratio (min scoreLow over the fixed samples / min scoreHigh) /
-  * (8/2) — hypervisor steal on this box arrives in sub-minute bursts
-  * that only ADD time, so the floor over a FIXED count approximates the
-  * clean machine on each side; the median per-pair ratio
+  * FLOOR ratio (min scoreLow / min scoreHigh) / (8/2) over an EQUAL
+  * truncated pass count per side — hypervisor steal on this box
+  * arrives in sub-minute bursts that only ADD time, so the floor over
+  * a FIXED symmetric count approximates the clean machine on each
+  * side; the median per-pair ratio
   * (`scaling_efficiency_median_pair`) and every raw sample (incl. child
   * wall, child CPU seconds, loadavg) are emitted alongside so the
   * estimator is fully inspectable. Samples stop early ONLY on the
@@ -143,13 +144,22 @@ object Bench {
 
   /** Warmup + one timed pass at one parallelism level (the per-level
     * measurement body, shared with [[BenchLevel]]). */
-  /** Warmup + `passes` timed passes at one level. Multiple passes per
-    * child amortize the ~40 s JVM+session+generate+warmup startup over
-    * extra timed windows — on this host, steal arrives in sub-minute
-    * bursts, so independent passes give the floor estimator more chances
-    * at a clean window per child. */
+  /** Warmup + up to `passes` timed passes at one level. Multiple passes
+    * per child amortize the ~40 s JVM+session+generate+warmup startup
+    * over extra timed windows — on this host, steal arrives in
+    * sub-minute bursts, so independent passes give the floor estimator
+    * more chances at a clean window per child.
+    *
+    * `budgetSec` (0 = unlimited) is the child's SELF-imposed deadline:
+    * after each pass the child runs another only if the projected cost
+    * (last pass × 1.15) still fits. Purely time-based — the measured
+    * VALUES are never consulted — and it guarantees a slow-weather child
+    * returns at least one completed pass instead of being killed mid-run
+    * by the parent's cap. */
   private[graft] def measureLevelRuns(cpus: Int, benchImages: Long,
-      passes: Int): Seq[(Double, Double)] = {
+      passes: Int, budgetSec: Double = 0.0): Seq[(Double, Double)] = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     // Shuffle partitions FIXED (64) across parallelism levels: a real
     // cluster going N→4N executors does not retune
     // spark.sql.shuffle.partitions, and per-level values (2 vs 8 vs 32)
@@ -157,9 +167,18 @@ object Bench {
     // AQE still coalesces small partitions identically at every level.
     val spark = session(cpus, shufflePartitions = 64)
     pipelineOnce(spark, math.min(benchImages / 10 + 1, 10000L), cpus) // JIT warmup
-    val runs = (1 to math.max(1, passes)).map(_ => pipelineOnce(spark, benchImages, cpus))
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var lastCost = 0.0
+    var p = 0
+    while (p < math.max(1, passes) &&
+        (p == 0 || budgetSec <= 0 || elapsed + lastCost * 1.15 < budgetSec)) {
+      val t = elapsed
+      runs += pipelineOnce(spark, benchImages, cpus)
+      lastCost = elapsed - t
+      p += 1
+    }
     spark.stop()
-    runs
+    runs.toSeq
   }
 
   private[graft] def measureLevel(cpus: Int, benchImages: Long): (Double, Double) =
@@ -198,11 +217,14 @@ object Bench {
       // cap with a 0-byte stderr log — log4j never initialized; the
       // identical launch on an idle machine starts in seconds). Lazy
       // first-touch lands in the untimed warmup pass instead.
+      // the child's self-deadline sits 15 s inside the parent's kill cap
+      // so a slow child degrades to fewer passes instead of being killed
+      val childBudget = math.max(30L, timeoutSec - 15L)
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
         s"-Xms$mem", s"-Xmx$mem", "-XX:+UseParallelGC",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.BenchLevel", cpus.toString, benchImages.toString,
-        passes.toString))
+        passes.toString, childBudget.toString))
       val pb = new ProcessBuilder(cmd: _*)
       // child stderr (Spark logs) → file: never blocks the pipe, and a
       // killed child leaves its log for diagnosis
@@ -243,7 +265,8 @@ object Bench {
     * WAITING on the hypervisor, not working. */
   private[graft] def levelMain(args: Array[String]): Unit = {
     val passes = if (args.length > 2) args(2).toInt else 1
-    val runs = measureLevelRuns(args(0).toInt, args(1).toLong, passes)
+    val budget = if (args.length > 3) args(3).toDouble else 0.0
+    val runs = measureLevelRuns(args(0).toInt, args(1).toLong, passes, budget)
     runs.foreach { case (fit, score) => println(s"$benchLevelMarker $fit $score") }
     val cpuSec = try {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -473,16 +496,21 @@ object Bench {
         val n = samples.map(_.rows).distinct.find(n =>
           lows.exists(_.rows == n) && highs.exists(_.rows == n)).get
         // PRIMARY estimator (pre-registered, see class doc): per-side
-        // noise floor — hypervisor steal only ADDS time, so min over a
-        // FIXED sample count approximates the clean machine on each
-        // side; the count is never extended based on the value.
+        // noise floor over an EQUAL number of passes per side (children
+        // self-budget, so one side can complete more passes; truncating
+        // both sides to the first min(nLow, nHigh) passes keeps the
+        // floor symmetric — extra chances on one side would otherwise
+        // bias the ratio). Steal only ADDS time, so min over the fixed
+        // truncated count approximates the clean machine on each side;
+        // the count is never extended based on the value.
+        val lowsN = lows.filter(_.rows == n)
+        val highsN = highs.filter(_.rows == n)
+        val kEq = math.min(lowsN.size, highsN.size)
+        val bestLow = lowsN.take(kEq).map(_.score).min
+        val bestHigh = highsN.take(kEq).map(_.score).min
         fields("scaling_efficiency") =
-          ((lows.filter(_.rows == n).map(_.score).min /
-            highs.filter(_.rows == n).map(_.score).min) /
-            (nHigh.toDouble / nLow)).toString
+          ((bestLow / bestHigh) / (nHigh.toDouble / nLow)).toString
         fields("scaling_rows_used") = n.toString
-        val bestLow = lows.filter(_.rows == n).map(_.score).min
-        val bestHigh = highs.filter(_.rows == n).map(_.score).min
         fields("score_sec_low") = bestLow.toString
         fields("score_sec_high") = bestHigh.toString
         fields("fit_sec_low") = lows.filter(_.rows == n).map(_.fit).min.toString
@@ -545,7 +573,7 @@ object Bench {
       if (calibWall > 0) math.min(300L, math.max(120L, (calibWall * 4.5).toLong))
       else 170L
     def capLow: Long =
-      if (calibWall > 0) math.min(450L, math.max(260L, (calibWall * 9).toLong))
+      if (calibWall > 0) math.min(450L, math.max(280L, (calibWall * 10).toLong))
       else 320L
     def sampleWithRetry(c: Int, rows: Long, capSec: Long): Unit = {
       if (!sample(c, rows, capSec) && remaining > capSec * 1.8 + 30)
