@@ -25,12 +25,14 @@ import graft.synth.{GenConfig, ImageGen}
   * evidence.)
   *
   * Scaling protocol — PRE-REGISTERED, no outcome-conditioned logic:
-  * one full-thread calibration sample, then up to
-  * `SPARK_GRAFT_BENCH_ROUNDS` (default 2) paired samples of the
-  * flagship fit+score pipeline at N=2 and 4N=8 cores, each level in a
-  * fresh subprocess JVM running `SPARK_GRAFT_BENCH_PASSES` (default 2)
-  * timed passes (startup amortized across passes — more clean-window
-  * chances per child), the two sides of a pair back-to-back. Per-sample wall caps
+  * up to `SPARK_GRAFT_BENCH_ROUNDS` (default 2) paired samples of the
+  * flagship fit+score pipeline at N=2 and 4N=8 cores (the primary pair
+  * FIRST, on the most pristine machine state), each level in a fresh
+  * subprocess JVM running up to `SPARK_GRAFT_BENCH_PASSES` (default 2)
+  * self-budgeted timed passes (startup amortized across passes — more
+  * clean-window chances per child), the two sides of a pair
+  * back-to-back; one full-thread context/calibration sample follows
+  * the first pair. Per-sample wall caps
   * derive from the calibration sample's measured wall clock (bounded by
   * static ceilings), so a slow window widens the caps instead of
   * killing every child. Reported `scaling_efficiency` = per-side NOISE
@@ -536,7 +538,7 @@ object Bench {
     def sample(c: Int, rows: Long, capSec: Long): Boolean = {
       if (c == nLow) childrenLow += 1
       val cap = math.max(45L, math.min(remaining.toLong - 10L, capSec))
-      Thread.sleep(3000) // settle: let the previous child's pages free
+      Thread.sleep(8000) // settle: let the previous child's freed pages reclaim
       val load = loadAvg()
       val got = measureLevelSubprocess(c, rows, cap, passesPerChild)
       got.foreach { case (runs, wall, cpu) =>
@@ -549,32 +551,26 @@ object Bench {
       flush()
       got.nonEmpty
     }
-    // Sample order: CHEAPEST LEVEL FIRST. The full-thread sample doubles
-    // as a machine-speed calibration: caps for the slower levels derive
-    // from its measured child wall clock (bounded by static ceilings),
-    // so a hypervisor slow window widens the caps proportionally instead
-    // of killing every child, and a fast window keeps the phase short.
-    // Clean 2-pass child walls at 1.5M rows: 32c ≈ 65 s, 8c ≈ 85 s
-    // (~1.3×), 2c ≈ 200 s (~3×); caps allow ~2× margin over those.
+    // Sample order: the PRIMARY PAIR runs FIRST, against the most
+    // pristine machine state of the whole process — measured repeatedly,
+    // a child starting right after another child exits sees a 3-4×
+    // inflated fit phase while the freed heap is still being reclaimed
+    // (the 8c-after-32c pattern), and the gate measurement deserves the
+    // clean window. Static caps bound the pair (children self-budget
+    // their pass count, so a cap kill means pass 1 alone exceeded it —
+    // only a pathological window does that); a kill earns ONE retry at
+    // 1.8× the cap (completion-conditioned — the measured value is
+    // never consulted). The full-thread context sample runs AFTER the
+    // pair and calibrates pair-2 caps.
+    val capHigh0 = 170L
+    val capLow0 = 320L
     var calibWall = 0.0
-    if (cpus > nHigh && remaining > 90) {
-      val keepPasses = passesPerChild
-      passesPerChild = 1 // calibration is context, one pass is enough
-      sample(cpus, benchImages, 170L)
-      passesPerChild = keepPasses
-      samples.find(_.cpus == cpus).foreach(s => calibWall = s.wall)
-    }
-    // Cap ratios are vs the ONE-pass calibration child (~35 s clean):
-    // the 8c child runs TWO passes (~100 s clean, ~2.9× calib) and the
-    // 2c child ~240 s (~7× calib); multipliers leave ~1.5× weather
-    // margin, and a kill earns ONE retry at 1.8× the cap (completion-
-    // conditioned — the measured value is never consulted).
     def capHigh: Long =
       if (calibWall > 0) math.min(300L, math.max(120L, (calibWall * 4.5).toLong))
-      else 170L
+      else capHigh0
     def capLow: Long =
       if (calibWall > 0) math.min(450L, math.max(280L, (calibWall * 10).toLong))
-      else 320L
+      else capLow0
     def sampleWithRetry(c: Int, rows: Long, capSec: Long): Unit = {
       if (!sample(c, rows, capSec) && remaining > capSec * 1.8 + 30)
         sample(c, rows, capSec * 9 / 5): Unit
@@ -589,6 +585,14 @@ object Bench {
         sampleWithRetry(nHigh, benchImages, capHigh)
         sampleWithRetry(nLow, benchImages, capLow)
         pairCost = math.min(pairCost, elapsed - t0)
+      }
+      // full-thread context/calibration sample after the primary pair
+      if (p == 0 && cpus > nHigh && remaining > 75) {
+        val keepPasses = passesPerChild
+        passesPerChild = 1 // context, one pass is enough
+        sample(cpus, benchImages, 170L)
+        passesPerChild = keepPasses
+        samples.find(_.cpus == cpus).foreach(s => calibWall = s.wall)
       }
     }
     // Rescue pair: if NO complete pair landed (both-sides-killed in a slow
