@@ -78,8 +78,10 @@ object Bench {
       // Shuffle scratch on tmpfs + single-file-per-mapper sort writer:
       // the bypass-merge writer creates maps*reducers tiny files whose
       // open/mmap latency on the virtio disk dominated small shuffles
-      // (observed 5s-41s variance on identical jobs).
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      // (observed 5s-41s variance on identical jobs). Per-process subdir
+      // so a killed JVM's leak is reapable (Scratch.cleanupOrphans) —
+      // round 3 left 5.8 GiB of dead blockmgr dirs resident in tmpfs.
+      .config("spark.local.dir", graft.engine.Scratch.localDir("bench"))
       .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.file.transferTo", "false")
       .config("spark.io.compression.codec", "lz4")

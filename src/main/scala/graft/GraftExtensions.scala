@@ -41,23 +41,40 @@ object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("hamming64",
       info("hamming64", "hamming64(a, b) - popcount(a XOR b) over 64-bit fingerprints"),
-      (es: Seq[Expression]) => Exprs.Hamming64(es(0), es(1))),
+      (es: Seq[Expression]) => { arity("hamming64", es, 2); Exprs.Hamming64(es(0), es(1)) }),
     ("graft_simhash64",
       info("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash fingerprint"),
-      (es: Seq[Expression]) => Exprs.SimHash64(es.head)),
+      (es: Seq[Expression]) => { arity("graft_simhash64", es, 1); Exprs.SimHash64(es.head) }),
     ("graft_scrub",
       info("graft_scrub", "graft_scrub(text) - single-pass PII/toxicity scrub chain"),
-      (es: Seq[Expression]) => Exprs.ScrubAll(es.head)),
+      (es: Seq[Expression]) => { arity("graft_scrub", es, 1); Exprs.ScrubAll(es.head) }),
     ("graft_minhash_bands",
       info("graft_minhash_bands",
         "graft_minhash_bands(text, k, hashes, bands) - MinHash-LSH band keys"),
-      (es: Seq[Expression]) => Exprs.MinhashBandKeys(es(0),
-        foldToInt(es(1)), foldToInt(es(2)), foldToInt(es(3)))))
+      (es: Seq[Expression]) => {
+        arity("graft_minhash_bands", es, 4)
+        Exprs.MinhashBandKeys(es(0),
+          foldToInt("graft_minhash_bands", "k", es(1)),
+          foldToInt("graft_minhash_bands", "hashes", es(2)),
+          foldToInt("graft_minhash_bands", "bands", es(3)))
+      }))
 
-  private def foldToInt(e: Expression): Int = e.eval() match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"literal int expected, got $other")
+  private def arity(name: String, es: Seq[Expression], expected: Int): Unit =
+    if (es.length != expected) throw new IllegalArgumentException(
+      s"$name expects $expected argument(s), got ${es.length}")
+
+  /** SQL-surface parameter validation: the tuning knobs must be literal
+    * ints (the expression bakes them into codegen). A column argument is
+    * non-foldable — without this check it would hit eval() on an unbound
+    * expression and surface as an opaque UnsupportedOperationException. */
+  private def foldToInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: parameter '$param' must be a literal integer, got non-literal ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must be a literal integer, got $other")
+    }
   }
 }

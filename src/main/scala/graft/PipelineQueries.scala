@@ -96,6 +96,23 @@ object PipelineQueries {
     PipelineCache.images(s, N).select(col("image_id"), col("caption"))
       .coalesce(1).write.mode("overwrite").parquet(captionFixturePath)
 
+  /** Emitted-pair fixtures for the SOUNDNESS oracles: the engine's
+    * signature banding (minhash) / hyperplane bucketing (embedding) is
+    * not SQL-reproducible, but every pair it EMITS is checkable — the
+    * query writes its own result as a fixture, and DuckDB recomputes the
+    * exact similarity for exactly those pairs from the raw captions /
+    * vectors and re-applies the threshold. An unsound pair (true
+    * similarity below threshold) disappears from the oracle side and
+    * fails the row/hash compare; a wrong similarity VALUE fails the
+    * hash. Recall (no pair missed) is covered by the seeded-ground-truth
+    * ScalaTest gates (OpsSpec), which this one-sided oracle cannot see. */
+  private[graft] def minhashPairsFixturePath: String =
+    new java.io.File("target/verify-fixtures/minhash_pairs.parquet").getAbsolutePath
+  private[graft] def embFixturePath: String =
+    new java.io.File("target/verify-fixtures/emb_input.parquet").getAbsolutePath
+  private[graft] def embPairsFixturePath: String =
+    new java.io.File("target/verify-fixtures/emb_pairs.parquet").getAbsolutePath
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M5–M8 + P3: full score → threshold → keep/drop pass
     "qf_decisions" -> ((s, _) =>
@@ -168,11 +185,16 @@ object PipelineQueries {
     }),
 
     // Dedup: MinHash+LSH near-dup pairs on the synthetic captions
-    // (near_duplicate rows share their base row's caption)
-    "qf_dedup_minhash" -> ((s, _) =>
+    // (near_duplicate rows share their base row's caption).
+    // Soundness-oracle-checked: DuckDB recomputes exact Jaccard from the
+    // raw captions for every emitted pair and re-applies >= 0.8.
+    "qf_dedup_minhash" -> ((s, _) => {
+      writeCaptionFixture(s)
       graft.ops.Dedup.minhashPairs(
         PipelineCache.images(s, N), "image_id", "caption")
-        .orderBy("id1", "id2")),
+        .coalesce(1).write.mode("overwrite").parquet(minhashPairsFixturePath)
+      s.read.parquet(minhashPairsFixturePath).orderBy("id1", "id2")
+    }),
 
     // Dedup: SimHash fingerprint + Hamming banding (hash-checked: the
     // DuckDB oracle recomputes all pairs O(n²) over the fingerprint
@@ -194,11 +216,17 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
-    // Dedup: embedding-cosine near-dup via hyperplane-LSH buckets
+    // Dedup: embedding-cosine near-dup via hyperplane-LSH buckets.
+    // Soundness-oracle-checked: DuckDB recomputes the exact cosine from
+    // the raw vectors for every emitted pair and re-applies >= 0.97
+    // (cos rounded to 4dp on both sides, the qf_ann_brute convention).
     "qf_dedup_embedding" -> ((s, _) => {
       val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L)
+      emb.coalesce(1).write.mode("overwrite").parquet(embFixturePath)
       graft.ops.Similarity.cosineNearDupPairs(emb, dim = 32)
-        .orderBy("id1", "id2")
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+        .coalesce(1).write.mode("overwrite").parquet(embPairsFixturePath)
+      s.read.parquet(embPairsFixturePath).orderBy("id1", "id2")
     }),
 
     // Similarity: brute-force cosine top-k on the driver embeddings
@@ -220,17 +248,27 @@ object PipelineQueries {
     // brute force on the clustered fixture (IVF earns its keep where
     // the corpus HAS cluster structure; see ivfTopK doc)
     "qf_ann_ivf_recall" -> ((s, _) => {
+      import s.implicits._
+      val qIds = Seq(0L, 7L, 42L, 101L, 333L)
       val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L).cache()
-      val queries = emb.filter(col("vec_id").isin(0L, 7L, 42L, 101L, 333L))
+      val queries = emb.filter(col("vec_id").isin(qIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 5)
         .select("query_id", "vec_id")
       val ivf = graft.ops.Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
         .select("query_id", "vec_id")
-      brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("hits_of_5"))
+      // Left-join the hit counts back onto the full query set: a recall
+      // collapse must surface as hits_of_5=0, not as a silently missing
+      // row (the semi-join → groupBy shape dropped zero-hit queries).
+      val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val out = qIds.toDF("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_of_5"))
         .orderBy("query_id")
+        .as[(Long, Long)].collect() // materialize, then release the cache
+      emb.unpersist()
+      out.toSeq.toDF("query_id", "hits_of_5")
     }),
 
     // Similarity: LSH-bucketed ANN (the 10^12-scale path) + its recall
@@ -336,7 +374,55 @@ object PipelineQueries {
     val fx = phashFixturePath.replace("'", "''") + "/*.parquet"
     val sfx = simhashFixturePath.replace("'", "''") + "/*.parquet"
     val cfx = captionFixturePath.replace("'", "''") + "/*.parquet"
+    val mpx = minhashPairsFixturePath.replace("'", "''") + "/*.parquet"
+    val efx = embFixturePath.replace("'", "''") + "/*.parquet"
+    val epx = embPairsFixturePath.replace("'", "''") + "/*.parquet"
     Map(
+      // SOUNDNESS oracle (one-sided, see minhashPairsFixturePath doc):
+      // recompute exact Jaccard from raw captions for each emitted pair,
+      // re-apply >= 0.8. Every emitted pair must survive with the same
+      // jaccard value; recall is covered by OpsSpec's seeded gate.
+      "qf_dedup_minhash" ->
+        s"""WITH d AS (
+           |  SELECT image_id AS id,
+           |         string_split_regex(trim(lower(caption)), '\\s+') AS toks
+           |  FROM read_parquet('$cfx')),
+           |sh AS (
+           |  SELECT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+           |  FROM d, UNNEST(RANGE(1, len(toks) - 1)) AS r(i)
+           |  WHERE len(toks) >= 3),
+           |ds AS (SELECT DISTINCT id, s FROM sh),
+           |sets AS (SELECT id, COUNT(*) AS n FROM ds GROUP BY id),
+           |pr AS (SELECT id1, id2 FROM read_parquet('$mpx')),
+           |inter AS (
+           |  SELECT p.id1, p.id2, COUNT(*) AS c
+           |  FROM pr p
+           |  JOIN ds x ON x.id = p.id1
+           |  JOIN ds y ON y.id = p.id2 AND y.s = x.s
+           |  GROUP BY p.id1, p.id2)
+           |SELECT i.id1, i.id2,
+           |  CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS jaccard
+           |FROM inter i
+           |JOIN sets na ON na.id = i.id1
+           |JOIN sets nb ON nb.id = i.id2
+           |WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.8
+           |ORDER BY id1, id2""".stripMargin,
+      // SOUNDNESS oracle: recompute exact cosine from the raw vectors
+      // for each emitted pair, re-apply >= 0.97, round to 4dp.
+      "qf_dedup_embedding" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM read_parquet('$efx')),
+           |pr AS (SELECT id1, id2 FROM read_parquet('$epx')),
+           |c AS (
+           |  SELECT p.id1, p.id2,
+           |    list_dot_product(a.v, b.v)
+           |      / (sqrt(list_dot_product(a.v, a.v))
+           |         * sqrt(list_dot_product(b.v, b.v))) AS cos
+           |  FROM pr p
+           |  JOIN e a ON a.vec_id = p.id1
+           |  JOIN e b ON b.vec_id = p.id2)
+           |SELECT id1, id2, ROUND(cos, 4) AS cos
+           |FROM c WHERE cos >= 0.97 ORDER BY id1, id2""".stripMargin,
       // Recomputes Dedup.ngramJaccardPairs from raw captions: 3-shingles
       // over whitespace-split lower(trim(caption)); candidates = pairs
       // sharing a distinct shingle from the first 32 positions with BOTH

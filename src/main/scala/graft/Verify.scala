@@ -7,6 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // reap tmpfs scratch leaked by dead JVMs (resident RAM otherwise)
+    graft.engine.Scratch.cleanupOrphans(): Unit
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,8 +24,9 @@ object Verify {
       // Shuffle scratch on tmpfs + single-file-per-mapper sort writer:
       // the bypass-merge writer creates maps*reducers tiny files whose
       // open/mmap latency on the virtio disk dominated small shuffles
-      // (observed 5s-41s variance on identical jobs).
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      // (observed 5s-41s variance on identical jobs). Per-process subdir
+      // so a killed JVM's leak is reapable (Scratch.cleanupOrphans).
+      .config("spark.local.dir", graft.engine.Scratch.localDir("verify"))
       .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.file.transferTo", "false")
       .config("spark.io.compression.codec", "lz4")

@@ -1,0 +1,72 @@
+package graft.engine
+
+/** Per-process Spark scratch directories on tmpfs, with orphan reaping.
+  *
+  * Shuffle scratch lives on `/dev/shm` (the virtio disk's small-file
+  * open/mmap latency made identical jobs swing 5-41 s), but tmpfs pages
+  * are RESIDENT RAM: a JVM that is killed (bench child over its cap,
+  * harness timeout) leaks its `blockmgr-*` dirs forever. Observed after
+  * round 3: 13 leaked block-manager dirs totalling 5.8 GiB across the
+  * round's runs — machine state that degrades every later measurement
+  * on the box.
+  *
+  * Fix: every JVM gets its OWN subdir, `p<pid>-<tag>`, so ownership is
+  * decidable post-mortem; [[cleanupOrphans]] deletes any subdir whose
+  * creating process is dead (plus bare legacy `blockmgr-*`/`spark-*`
+  * dirs from the old shared layout, which are always orphans under this
+  * one). A shutdown hook reaps the process's own dir on clean exit;
+  * kills are covered by the next process's orphan sweep.
+  */
+object Scratch {
+
+  val root = "/dev/shm/graft-spark"
+
+  /** This process's scratch dir for `tag` (created, reaped on exit). */
+  def localDir(tag: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val dir = new java.io.File(root, s"p$pid-$tag")
+    dir.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    dir.getAbsolutePath
+  }
+
+  /** Name of the scratch dir a CHILD process with known pid will use —
+    * lets a parent that force-killed the child reap its scratch
+    * immediately instead of waiting for the next orphan sweep. */
+  def childDir(pid: Long, tag: String): java.io.File =
+    new java.io.File(root, s"p$pid-$tag")
+
+  /** Delete scratch subdirs whose owning process is dead. Safe against
+    * concurrent live JVMs: `p<pid>-*` dirs are only removed when that
+    * pid no longer exists; unrecognized names are left alone except the
+    * legacy shared-layout `blockmgr-*`/`spark-*` dirs, which no current
+    * code writes and which are therefore always dead weight. */
+  def cleanupOrphans(): Long = {
+    val base = new java.io.File(root)
+    val entries = Option(base.listFiles()).getOrElse(Array.empty)
+    var freed = 0L
+    entries.foreach { f =>
+      val name = f.getName
+      val ownerDead = name match {
+        case s if s.startsWith("p") && s.contains("-") =>
+          s.drop(1).takeWhile(_.isDigit).toLongOption
+            .exists(pid => !ProcessHandle.of(pid).isPresent)
+        case s => s.startsWith("blockmgr-") || s.startsWith("spark-")
+      }
+      if (ownerDead) { freed += sizeOf(f); deleteRecursively(f) }
+    }
+    freed
+  }
+
+  /** Bytes currently held by the scratch root (tmpfs = resident RAM). */
+  def usedBytes(): Long = sizeOf(new java.io.File(root))
+
+  private def sizeOf(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+    else f.length()
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -222,8 +222,12 @@ object ClusterExplainer {
     val spark = scored.sparkSession
     import spark.implicits._
     val faulty = scored.filter(col("invalidity_score") >= faultyThreshold).cache()
+    // Bounded normal-side sample for tree training — hash-ordered like
+    // fitSample, NOT a bare limit: limit-after-shuffle takes whichever
+    // partitions answer first, so the trained rules would vary with
+    // partition layout.
     val normal = scored.filter(col("invalidity_score") <= normalThreshold)
-      .limit(2000).cache() // bounded sample for tree training
+      .orderBy(xxhash64(col("image_id"))).limit(2000).cache()
     val clusters = clusterFaulty(faulty, scoreCols, k).cache()
     // Per-cluster tree fits are independent tiny MLlib jobs; run them as
     // CONCURRENT Spark actions so their fixed scheduling latency overlaps

@@ -91,15 +91,26 @@ object ValidationRun {
 
     val metricsHist = scala.collection.mutable.ArrayBuffer.empty[Metrics.RunMetrics]
     val thresholds = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // Reload prior rounds' metrics so TPGR spans the full history on resume.
+    // Reload prior rounds' metrics so TPGR spans the full history on
+    // resume. Checkpoints written before the tpgr column existed stay
+    // resumable: the missing column reads as 0.0 (TPGR of a one-run
+    // history) instead of failing the whole resume on AnalysisException.
     (1 to resumeFrom).foreach { r =>
-      if (TableIO.exists(spark, metricsPath(cfg, r)))
-        metricsHist ++= TableIO.read(spark, metricsPath(cfg, r))
-          .as[Metrics.RunMetrics].collect()
+      if (TableIO.exists(spark, metricsPath(cfg, r))) {
+        val raw = TableIO.read(spark, metricsPath(cfg, r))
+        val compat =
+          if (raw.columns.contains("tpgr")) raw
+          else raw.withColumn("tpgr", lit(0.0))
+        metricsHist ++= compat.as[Metrics.RunMetrics].collect()
+      }
     }
 
     val n = cfg.n
     val knownFlag = broadcast(known.withColumn("__known", lit(1)))
+    // Previous round's flagged frame: kept cached until the NEXT round's
+    // checkpoint write has materialized (its statuses projection feeds
+    // that round's join), then released.
+    var prevFlagged: Option[DataFrame] = None
     for (r <- (resumeFrom + 1) to cfg.rounds) {
       val st = scoreRound(statuses)
       val (t, _) = Thresholds.discover(st, "invalidity_score", "status", knownCount, n)
@@ -120,23 +131,32 @@ object ValidationRun {
             .otherwise(col("status")))
         .cache()
 
-      // Metrics counts in ONE aggregation pass (formula parity —
-      // Evaluation.py:6-30; the reference re-scans per metric).
-      val c = flagged.agg(
-        sum(when(col("is_susp"), 1L).otherwise(0L)).as("faulty"),
-        sum(when(col("is_susp") && col("is_known"), 1L).otherwise(0L)).as("eInterA"),
-        sum(when(col("status_new").startsWith("actualFault"), 1L).otherwise(0L)).as("afNew"),
-        sum(when(col("status").startsWith("actualFault"), 1L).otherwise(0L)).as("afOld"),
-        sum(when(col("status").startsWith("actualFault") &&
-          !col("status_new").startsWith("actualFault"), 1L).otherwise(0L)).as("afOldMinusNew"),
-        sum(when(col("status_new").startsWith("actualFault") && !col("is_known"), 1L)
-          .otherwise(0L)).as("afMinusE")).head()
-      val faultyRows = c.getLong(0)
-      val eInterA = c.getLong(1)
-      val afNewN = c.getLong(2)
-      val afOldN = c.getLong(3)
-      val afOldMinusNew = c.getLong(4)
-      val afMinusE = c.getLong(5)
+      // Metrics counts in ONE pass that is ALSO the checkpoint write
+      // (formula parity — Evaluation.py:6-30; the reference re-scans per
+      // metric): an Observation rides the status write, so one job
+      // materializes the cache, writes the round's statuses, and
+      // collects all six counts. (Round 3 spent a separate full agg
+      // action here — at n=1000 the loop's cost is job count, not data.)
+      val obs = org.apache.spark.sql.Observation(s"round_$r")
+      TableIO.createOrReplace(
+        flagged.observe(obs,
+          sum(when(col("is_susp"), 1L).otherwise(0L)).as("faulty"),
+          sum(when(col("is_susp") && col("is_known"), 1L).otherwise(0L)).as("eInterA"),
+          sum(when(col("status_new").startsWith("actualFault"), 1L).otherwise(0L)).as("afNew"),
+          sum(when(col("status").startsWith("actualFault"), 1L).otherwise(0L)).as("afOld"),
+          sum(when(col("status").startsWith("actualFault") &&
+            !col("status_new").startsWith("actualFault"), 1L).otherwise(0L)).as("afOldMinusNew"),
+          sum(when(col("status_new").startsWith("actualFault") && !col("is_known"), 1L)
+            .otherwise(0L)).as("afMinusE"))
+          .select(col("image_id"), col("status_new").as("status")),
+        statusPath(cfg, r))
+      val c = obs.get
+      val faultyRows = c("faulty").asInstanceOf[Long]
+      val eInterA = c("eInterA").asInstanceOf[Long]
+      val afNewN = c("afNew").asInstanceOf[Long]
+      val afOldN = c("afOld").asInstanceOf[Long]
+      val afOldMinusNew = c("afOldMinusNew").asInstanceOf[Long]
+      val afMinusE = c("afMinusE").asInstanceOf[Long]
       val fnr = Metrics.falseNegativeRate(afOldMinusNew, afOldN)
       val tpr = Metrics.truePositiveRate(afNewN, faultyRows)
       // TPGR over the history up to and including this round — the
@@ -156,10 +176,9 @@ object ValidationRun {
         tpgr = tpgr)
       metricsHist += m
 
-      // Checkpoint: statuses, metrics row, per-partition lineage.
-      TableIO.createOrReplace(
-        flagged.select(col("image_id"), col("status_new").as("status")),
-        statusPath(cfg, r))
+      // Remaining checkpoints: metrics row + per-partition lineage, both
+      // from the already-cached flagged frame (the status write above
+      // populated the cache).
       TableIO.createOrReplace(Seq(m).toDF(), metricsPath(cfg, r))
       val lineage = flagged
         .withColumn("pid", spark_partition_id())
@@ -171,8 +190,13 @@ object ValidationRun {
         .withColumn("completed_at", current_timestamp())
       TableIO.createOrReplace(lineage, lineagePath(cfg, r))
 
-      statuses = TableIO.read(spark, statusPath(cfg, r)).select("image_id", "status")
-      flagged.unpersist()
+      // Next round reads the statuses straight off the cached frame (its
+      // content is byte-identical to the checkpoint just written) — no
+      // parquet round-trip per round. The checkpoint stays the resume
+      // source of truth for fresh processes.
+      statuses = flagged.select(col("image_id"), col("status_new").as("status"))
+      prevFlagged.foreach(_.unpersist())
+      prevFlagged = Some(flagged)
     }
 
     // Final decisions from the final-state model (refit on the last

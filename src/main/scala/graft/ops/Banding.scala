@@ -26,12 +26,17 @@ object Banding {
   /** keyed must have columns (id: string, key: long). Returns distinct
     * (id1, id2) with id1 < id2.
     *
-    * `truncated` (optional) observes the cap: it accumulates one count
-    * per (key, id) occurrence that arrived after its bucket filled —
-    * those ids get NO candidates from that bucket. A nonzero value after
-    * an action means candidate recall was bounded by maxBucket; callers
-    * that must not lose those ids should collapse exact duplicates first
-    * (the usual cause of over-cap buckets) or raise the cap. */
+    * `truncated` (optional) observes the cap as a NONZERO-MEANS-TRUNCATED
+    * indicator, not a precise count: it is updated inside a
+    * transformation, so task retries, speculation, or a second action
+    * over the same frame can add the same occurrences again (standard
+    * accumulator-in-transformation semantics). Zero after an action DOES
+    * reliably mean no bucket overflowed; a nonzero value means candidate
+    * recall was bounded by maxBucket — callers that must not lose those
+    * ids should collapse exact duplicates first (the usual cause of
+    * over-cap buckets) or raise the cap. An exact occurrence count, if
+    * ever needed, is a one-line aggregation over `keyed`
+    * (`count - sum(least(bucket_size, maxBucket))` per key). */
   def candidatePairs(keyed: DataFrame, maxBucket: Int = 1024,
       truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = keyed.sparkSession

@@ -203,12 +203,13 @@ object Dedup {
     * id) of EVERY shingle bucket it lands in gets zero candidates — a
     * near-duplicate is lost only when every shared shingle is corpus-hot
     * (boilerplate templates). That loss is NOT silent: pass `truncated`
-    * (a LongAccumulator) to count over-cap (shingle, doc) occurrences
-    * after an action; a nonzero count means the corpus has hot templates
-    * and exact/fingerprint dedup ([[exactKeepFirst]]) should collapse
-    * them before near-dup mining — which is also the order a real
-    * pipeline wants, since pair output over a g-duplicate group is
-    * inherently O(g²). */
+    * (a LongAccumulator) as a nonzero-means-truncated indicator (see
+    * [[Banding.candidatePairs]] — retries/speculation can inflate the
+    * value, zero is reliable); nonzero after an action means the corpus
+    * has hot templates and exact/fingerprint dedup ([[exactKeepFirst]])
+    * should collapse them before near-dup mining — which is also the
+    * order a real pipeline wants, since pair output over a g-duplicate
+    * group is inherently O(g²). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,

@@ -180,7 +180,8 @@ object Similarity {
       nlist: Int = 64,
       nprobe: Int = 8,
       seed: Long = 42L,
-      maxFit: Int = 20000): DataFrame = {
+      maxFit: Int = 20000,
+      maxQueries: Int = 100000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // 1. coarse quantizer on a bounded sample
@@ -201,8 +202,18 @@ object Similarity {
     val listOf = org.apache.spark.sql.graft.Exprs
       .nearestCentroid(col("embedding"), centroids, halfNorms)
     val assigned = embeddings.withColumn("__list", listOf)
-    // 3. probes: driver-side over the (small) query set
-    val probeRows = queries.select(col("query_id"), col("qvec")).collect().flatMap { r =>
+    // 3. probes: driver-side over the (small) query set. The
+    // small-queries contract is ENFORCED, not assumed: limit(max+1)
+    // bounds what can ever reach the driver, and the explicit error
+    // beats a silent driver OOM. A corpus-sized query set should go
+    // through the distributed NearestCentroid assignment instead.
+    val qRows = queries.select(col("query_id"), col("qvec"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"ivfTopK: query set exceeds maxQueries=$maxQueries; probe lists are " +
+        "computed driver-side by contract — for corpus-sized query sets " +
+        "assign lists with Exprs.nearestCentroid and join distributively")
+    val probeRows = qRows.flatMap { r =>
       val q = r.getSeq[Float](1).toArray
       val scored = centroids.indices.map { i =>
         var s = 0.0

@@ -21,8 +21,9 @@ object GraftTestSpark {
       // Shuffle scratch on tmpfs + single-file-per-mapper sort writer:
       // the bypass-merge writer creates maps*reducers tiny files whose
       // open/mmap latency on the virtio disk dominated small shuffles
-      // (observed 5s-41s variance on identical jobs).
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      // (observed 5s-41s variance on identical jobs). Per-process subdir
+      // so a killed JVM's leak is reapable (Scratch.cleanupOrphans).
+      .config("spark.local.dir", graft.engine.Scratch.localDir("tests"))
       .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.file.transferTo", "false")
       .config("spark.io.compression.codec", "lz4")
