@@ -112,6 +112,10 @@ object PipelineQueries {
     new java.io.File("target/verify-fixtures/emb_input.parquet").getAbsolutePath
   private[graft] def embPairsFixturePath: String =
     new java.io.File("target/verify-fixtures/emb_pairs.parquet").getAbsolutePath
+  private[graft] def lshTopkFixturePath: String =
+    new java.io.File("target/verify-fixtures/ann_lsh_topk.parquet").getAbsolutePath
+  private[graft] def ivfTopkFixturePath: String =
+    new java.io.File("target/verify-fixtures/ann_ivf_topk.parquet").getAbsolutePath
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M5–M8 + P3: full score → threshold → keep/drop pass
@@ -247,20 +251,29 @@ object PipelineQueries {
     // native nearest-centroid assign, nprobe-list search) recall vs
     // brute force on the clustered fixture (IVF earns its keep where
     // the corpus HAS cluster structure; see ivfTopK doc)
+    // Oracle-checked (soundness-fixture pattern): the IVF top-k output
+    // is written as a fixture and DuckDB recomputes brute-force top-5
+    // over the (also written) embedding fixture, then the intersection
+    // counts per query — a recall collapse shows as hits_of_5 dropping
+    // on BOTH engines identically, and any Spark-side miscount fails the
+    // hash compare.
     "qf_ann_ivf_recall" -> ((s, _) => {
       import s.implicits._
       val qIds = Seq(0L, 7L, 42L, 101L, 333L)
       val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L).cache()
+      emb.coalesce(1).write.mode("overwrite").parquet(embFixturePath)
       val queries = emb.filter(col("vec_id").isin(qIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 5)
         .select("query_id", "vec_id")
       val ivf = graft.ops.Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
         .select("query_id", "vec_id")
+      ivf.coalesce(1).write.mode("overwrite").parquet(ivfTopkFixturePath)
+      val ivfBack = s.read.parquet(ivfTopkFixturePath)
       // Left-join the hit counts back onto the full query set: a recall
       // collapse must surface as hits_of_5=0, not as a silently missing
       // row (the semi-join → groupBy shape dropped zero-hit queries).
-      val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+      val hits = brute.join(ivfBack, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("h"))
       val out = qIds.toDF("query_id")
         .join(hits, Seq("query_id"), "left")
@@ -272,8 +285,12 @@ object PipelineQueries {
     }),
 
     // Similarity: LSH-bucketed ANN (the 10^12-scale path) + its recall
-    // against the brute-force baseline
+    // against the brute-force baseline over the DRIVER's embeddings
+    // table. Oracle-checked via the soundness-fixture pattern: DuckDB
+    // recomputes brute top-5 from the raw table and intersects with the
+    // written LSH output.
     "qf_ann_lsh_recall" -> ((s, d) => {
+      import s.implicits._
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -281,9 +298,13 @@ object PipelineQueries {
         .select("query_id", "vec_id")
       val lsh = graft.ops.Similarity.lshTopK(emb, queries, 5, dim = 64)
         .select("query_id", "vec_id")
-      brute.join(lsh, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("hits_of_5"))
+      lsh.coalesce(1).write.mode("overwrite").parquet(lshTopkFixturePath)
+      val lshBack = s.read.parquet(lshTopkFixturePath)
+      val hits = brute.join(lshBack, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      Seq(0L, 1L, 2L).toDF("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_of_5"))
         .orderBy("query_id")
     }),
 
@@ -377,7 +398,40 @@ object PipelineQueries {
     val mpx = minhashPairsFixturePath.replace("'", "''") + "/*.parquet"
     val efx = embFixturePath.replace("'", "''") + "/*.parquet"
     val epx = embPairsFixturePath.replace("'", "''") + "/*.parquet"
+    val lfx = lshTopkFixturePath.replace("'", "''") + "/*.parquet"
+    val ifx = ivfTopkFixturePath.replace("'", "''") + "/*.parquet"
+    // Shared SQL shape for the ANN recall oracles: brute-force top-5 by
+    // (cos DESC, vec_id) recomputed from raw vectors, intersected with
+    // the engine's written top-k fixture, zero-hit queries kept.
+    def annRecallSql(source: String, queryFilter: String, querySet: String,
+        fixture: String): String =
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+         |           FROM $source WHERE $queryFilter),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $source),
+         |c AS (SELECT q.query_id, e.vec_id,
+         |  CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)) > 0
+         |       THEN list_dot_product(v, qvec)
+         |            / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))
+         |       ELSE -1.0 END AS cos
+         |  FROM e CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM c),
+         |b AS (SELECT query_id, vec_id FROM r WHERE rk <= 5),
+         |f AS (SELECT DISTINCT query_id, vec_id FROM read_parquet('$fixture')),
+         |h AS (SELECT b.query_id, COUNT(*) AS n
+         |      FROM b JOIN f ON f.query_id = b.query_id AND f.vec_id = b.vec_id
+         |      GROUP BY b.query_id),
+         |qs AS ($querySet)
+         |SELECT qs.query_id, COALESCE(h.n, 0) AS hits_of_5
+         |FROM qs LEFT JOIN h ON h.query_id = qs.query_id
+         |ORDER BY qs.query_id""".stripMargin
     Map(
+      "qf_ann_lsh_recall" -> annRecallSql("embeddings", "vec_id < 3",
+        "SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 3", lfx),
+      "qf_ann_ivf_recall" -> annRecallSql(s"read_parquet('$efx')",
+        "vec_id IN (0, 7, 42, 101, 333)",
+        "SELECT CAST(UNNEST([0, 7, 42, 101, 333]) AS BIGINT) AS query_id", ifx),
       // SOUNDNESS oracle (one-sided, see minhashPairsFixturePath doc):
       // recompute exact Jaccard from raw captions for each emitted pair,
       // re-apply >= 0.8. Every emitted pair must survive with the same

@@ -94,7 +94,13 @@ object ClusterExplainer {
     labeled
       .select((featureCols.map(c => col(c).cast("double")) :+
         col("label").cast("double").as("label")): _*)
-      .orderBy(xxhash64((featureCols :+ "label").map(col): _*))
+      // hash-ordered for a representative bounded sample; VALUE tiebreak
+      // so equal-hash rows (identical score vectors are common) arrive
+      // in a deterministic sequence regardless of partition layout —
+      // MLlib's seeded samplers consume rows in order, and exact
+      // duplicates are interchangeable, so value-order ties pin the fit
+      .orderBy((xxhash64((featureCols :+ "label").map(col): _*) +:
+        (featureCols :+ "label").map(col)): _*)
       .limit(maxFit)
       .select(array(featureCols.map(col): _*).as("arr"), col("label"))
       .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
@@ -167,7 +173,8 @@ object ClusterExplainer {
     import spark.implicits._
     val assembled = faulty
       .select(scoreCols.map(col): _*)
-      .orderBy(xxhash64(scoreCols.map(col): _*))
+      // value tiebreak after the hash: see assembleBounded
+      .orderBy((xxhash64(scoreCols.map(col): _*) +: scoreCols.map(col)): _*)
       .limit(maxFit)
       .select(array(scoreCols.map(col): _*).as("arr"))
       .map(r => Tuple1(Vectors.dense(r.getSeq[Double](0).toArray)))

@@ -60,5 +60,15 @@ class ExplainSpec extends AnyFunSuite {
     val collected = rules.collect()
     assert(collected.nonEmpty)
     assert(collected.map(_.getInt(0)).distinct.length >= 2, "expected >= 2 clusters")
+
+    // Partition-layout independence: the same scored rows in a different
+    // physical layout must yield the SAME rules — the normal-side sample
+    // is hash-ordered, not a bare limit (which takes whichever partitions
+    // answer first).
+    val relaid = scored.repartition(11)
+    val rules2 = ClusterExplainer.explain(relaid, PipelineCache.scoreNames, t, med)
+    assert(rules2.collect().toSeq.map(r => (r.getInt(0), r.getString(1))).sorted ==
+      collected.toSeq.map(r => (r.getInt(0), r.getString(1))).sorted,
+      "explain rules changed with partition layout")
   }
 }
