@@ -752,7 +752,30 @@ object Bench {
               ss.map(_.wall).min / cleanWall(c, pairRows, passesPerChild) }
             .max)
         fields("scaling_weather") = jn(w, 2)
-        // full-thread context sample (8→32 efficiency + max-thread rate)
+        // Leftover budget → ONE more pair at the LARGEST ladder size the
+        // measured weather says fits (caps 1.7×w — weather-informed where
+        // the first pair was conservative). Usually that is a full-size
+        // upgrade in a clean window; at worst it replicates the primary.
+        // The context-sample budget is reserved so pair 2 can't strand it.
+        val ctxCost =
+          if (cpus > nHigh) 1.4 * w * cleanWall(cpus, pairRows, 1) + 12 else 0.0
+        if (maxPairs >= 2) {
+          ladder.find(r => remaining >=
+              1.4 * w * (cleanWall(nHigh, r, passesPerChild) +
+                cleanWall(nLow, r, passesPerChild)) + pairSlack + ctxCost)
+            .foreach { r =>
+              pairAt(r,
+                math.ceil(1.7 * w * cleanWall(nHigh, r, passesPerChild)).toLong,
+                math.ceil(1.7 * w * cleanWall(nLow, r, passesPerChild)).toLong): Unit
+            }
+        }
+        // Full-thread context sample (8→32 efficiency + max-thread rate)
+        // runs LAST: a 32-thread child churns every core, and the next
+        // child launched into that aftermath measures slower even once
+        // CPU is idle (freed-heap reclaim) — in the run that motivated
+        // this order, pair 2's high child started right after the
+        // context child exited and recorded cpu/wall = 0.58 with a
+        // 1.6×-inflated floor. Context must never contaminate evidence.
         if (cpus > nHigh && remaining >
             1.4 * w * cleanWall(cpus, pairRows, 1) + 12) {
           val keepPasses = passesPerChild
@@ -760,20 +783,6 @@ object Bench {
           sample(cpus, pairRows,
             math.ceil(1.7 * w * cleanWall(cpus, pairRows, 1)).toLong): Unit
           passesPerChild = keepPasses
-        }
-        // Leftover budget → ONE more pair at the LARGEST ladder size the
-        // measured weather says fits (caps 1.7×w — weather-informed where
-        // the first pair was conservative). Usually that is a full-size
-        // upgrade in a clean window; at worst it replicates the primary.
-        if (maxPairs >= 2) {
-          ladder.find(r => remaining >=
-              1.4 * w * (cleanWall(nHigh, r, passesPerChild) +
-                cleanWall(nLow, r, passesPerChild)) + pairSlack)
-            .foreach { r =>
-              pairAt(r,
-                math.ceil(1.7 * w * cleanWall(nHigh, r, passesPerChild)).toLong,
-                math.ceil(1.7 * w * cleanWall(nLow, r, passesPerChild)).toLong): Unit
-            }
         }
       } else if (remaining > 60) {
         // Last resort: no subprocess pair landed at ANY ladder size
