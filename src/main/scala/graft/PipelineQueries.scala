@@ -112,10 +112,14 @@ object PipelineQueries {
     new java.io.File("target/verify-fixtures/emb_input.parquet").getAbsolutePath
   private[graft] def embPairsFixturePath: String =
     new java.io.File("target/verify-fixtures/emb_pairs.parquet").getAbsolutePath
+  private[graft] def embClusterPairsFixturePath: String =
+    new java.io.File("target/verify-fixtures/emb_cluster_pairs.parquet").getAbsolutePath
   private[graft] def lshTopkFixturePath: String =
     new java.io.File("target/verify-fixtures/ann_lsh_topk.parquet").getAbsolutePath
   private[graft] def ivfTopkFixturePath: String =
     new java.io.File("target/verify-fixtures/ann_ivf_topk.parquet").getAbsolutePath
+  private[graft] def ivfDriverTopkFixturePath: String =
+    new java.io.File("target/verify-fixtures/ann_ivf_driver_topk.parquet").getAbsolutePath
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M5–M8 + P3: full score → threshold → keep/drop pass
@@ -233,6 +237,21 @@ object PipelineQueries {
       s.read.parquet(embPairsFixturePath).orderBy("id1", "id2")
     }),
 
+    // Dedup: semantic duplicate CLUSTERS — converged min-label
+    // propagation over the embedding near-dup pair graph (the same
+    // scale shape as qf_phash_clusters, composed with the cosine
+    // operator). Hash-checked: DuckDB recomputes the transitive closure
+    // over the emitted pair fixture with a recursive CTE.
+    "qf_dedup_emb_clusters" -> ((s, _) => {
+      val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L)
+      val pairs = graft.ops.Similarity.cosineNearDupPairs(emb, dim = 32)
+        .select(col("id1"), col("id2"))
+      pairs.coalesce(1).write.mode("overwrite").parquet(embClusterPairsFixturePath)
+      PhashDup.clusters(s.read.parquet(embClusterPairsFixturePath))
+        .select(col("image_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     // Similarity: brute-force cosine top-k on the driver embeddings
     // table (hash-checked: plain SQL in DuckDB via list_dot_product;
     // cos rounded to 4dp on both sides — double math agrees to ~1e-15,
@@ -301,6 +320,32 @@ object PipelineQueries {
       lsh.coalesce(1).write.mode("overwrite").parquet(lshTopkFixturePath)
       val lshBack = s.read.parquet(lshTopkFixturePath)
       val hits = brute.join(lshBack, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      Seq(0L, 1L, 2L).toDF("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_of_5"))
+        .orderBy("query_id")
+    }),
+
+    // Similarity: IVF recall over the DRIVER's embeddings table (both
+    // ANN scale paths driver-data-checked). The driver vectors are
+    // near-uniform random — the regime where ANY coarse quantizer's
+    // candidate recall degrades toward nprobe/nlist (see ivfTopK doc),
+    // so low hits_of_5 here is the documented honest behavior, verified
+    // exactly by the oracle; the clustered-corpus case is
+    // qf_ann_ivf_recall.
+    "qf_ann_ivf_driver" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 5)
+        .select("query_id", "vec_id")
+      val ivf = graft.ops.Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+        .select("query_id", "vec_id")
+      ivf.coalesce(1).write.mode("overwrite").parquet(ivfDriverTopkFixturePath)
+      val ivfBack = s.read.parquet(ivfDriverTopkFixturePath)
+      val hits = brute.join(ivfBack, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("h"))
       Seq(0L, 1L, 2L).toDF("query_id")
         .join(hits, Seq("query_id"), "left")
@@ -400,6 +445,7 @@ object PipelineQueries {
     val epx = embPairsFixturePath.replace("'", "''") + "/*.parquet"
     val lfx = lshTopkFixturePath.replace("'", "''") + "/*.parquet"
     val ifx = ivfTopkFixturePath.replace("'", "''") + "/*.parquet"
+    val idx = ivfDriverTopkFixturePath.replace("'", "''") + "/*.parquet"
     // Shared SQL shape for the ANN recall oracles: brute-force top-5 by
     // (cos DESC, vec_id) recomputed from raw vectors, intersected with
     // the engine's written top-k fixture, zero-hit queries kept.
@@ -432,6 +478,20 @@ object PipelineQueries {
       "qf_ann_ivf_recall" -> annRecallSql(s"read_parquet('$efx')",
         "vec_id IN (0, 7, 42, 101, 333)",
         "SELECT CAST(UNNEST([0, 7, 42, 101, 333]) AS BIGINT) AS query_id", ifx),
+      "qf_ann_ivf_driver" -> annRecallSql("embeddings", "vec_id < 3",
+        "SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 3", idx),
+      "qf_dedup_emb_clusters" ->
+        s"""WITH RECURSIVE pr AS (
+           |  SELECT id1, id2 FROM read_parquet('${embClusterPairsFixturePath
+                .replace("'", "''")}/*.parquet')),
+           |e AS (SELECT id1 AS a, id2 AS b FROM pr
+           |      UNION SELECT id2, id1 FROM pr),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+           |SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+           |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
       // SOUNDNESS oracle (one-sided, see minhashPairsFixturePath doc):
       // recompute exact Jaccard from raw captions for each emitted pair,
       // re-apply >= 0.8. Every emitted pair must survive with the same
