@@ -544,16 +544,27 @@ object Bench {
         val a = one(); val b = one()
         (math.min(a, b), a, b)
       }
+      // a throwing op must cost this phase ONE row, not the whole bench:
+      // the error is recorded per op and the remaining ops still run
+      def guarded(tag: String)(body: => Unit): Unit =
+        try body catch {
+          case e: Throwable =>
+            fields(s"${tag}_error") = "\"" +
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+                .replace("\\", "\\\\").replace("\"", "\\\"")
+                .replaceAll("[\r\n\t]", " ") + "\""
+            flush()
+        }
       def emitRate(tag: String, rows: Long, t: (Double, Double, Double)): Unit = {
         fields(s"${tag}_docs_per_sec") = jn(rows / t._1, 0)
         fields(s"${tag}_secs") = Seq(t._2, t._3).map(jn(_, 2)).mkString("[", ",", "]")
         flush()
       }
       fields("dedup_rows") = dedupN.toString
-      emitRate("minhash", dedupN,
-        floor2(graft.ops.Dedup.minhashPairs(dedupImages, "image_id", "caption").count(): Unit))
-      emitRate("simhash", dedupN,
-        floor2(graft.ops.Dedup.simhashPairs(dedupImages, "image_id", "caption").count(): Unit))
+      guarded("minhash")(emitRate("minhash", dedupN,
+        floor2(graft.ops.Dedup.minhashPairs(dedupImages, "image_id", "caption").count(): Unit)))
+      guarded("simhash")(emitRate("simhash", dedupN,
+        floor2(graft.ops.Dedup.simhashPairs(dedupImages, "image_id", "caption").count(): Unit)))
       dedupImages.unpersist(blocking = true)
       // n-gram Jaccard verifies EVERY band candidate exactly (no
       // signature pruning) — inherently the most expensive family
@@ -564,8 +575,8 @@ object Bench {
         GenConfig(n = ngramN, parts = 128)).cache()
       ngramImages.count()
       fields("ngram_rows") = ngramN.toString
-      emitRate("ngram", ngramN,
-        floor2(graft.ops.Dedup.ngramJaccardPairs(ngramImages, "image_id", "caption").count(): Unit))
+      guarded("ngram")(emitRate("ngram", ngramN,
+        floor2(graft.ops.Dedup.ngramJaccardPairs(ngramImages, "image_id", "caption").count(): Unit)))
       ngramImages.unpersist(blocking = true)
 
       val annN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANN_ROWS", "100000").toLong
@@ -574,12 +585,16 @@ object Bench {
       val queries = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       fields("ann_rows") = annN.toString
-      val tb = floor2(graft.ops.Similarity.bruteForceTopK(emb, queries, 10).count(): Unit)
-      fields("ann_brute_sec") = jn(tb._1, 2)
-      fields("ann_brute_secs") = Seq(tb._2, tb._3).map(jn(_, 2)).mkString("[", ",", "]")
-      val tl = floor2(graft.ops.Similarity.lshTopK(emb, queries, 10, dim = 32).count(): Unit)
-      fields("ann_lsh_sec") = jn(tl._1, 2)
-      fields("ann_lsh_secs") = Seq(tl._2, tl._3).map(jn(_, 2)).mkString("[", ",", "]")
+      guarded("ann_brute") {
+        val tb = floor2(graft.ops.Similarity.bruteForceTopK(emb, queries, 10).count(): Unit)
+        fields("ann_brute_sec") = jn(tb._1, 2)
+        fields("ann_brute_secs") = Seq(tb._2, tb._3).map(jn(_, 2)).mkString("[", ",", "]")
+      }
+      guarded("ann_lsh") {
+        val tl = floor2(graft.ops.Similarity.lshTopK(emb, queries, 10, dim = 32).count(): Unit)
+        fields("ann_lsh_sec") = jn(tl._1, 2)
+        fields("ann_lsh_secs") = Seq(tl._2, tl._3).map(jn(_, 2)).mkString("[", ",", "]")
+      }
       emb.unpersist(blocking = true)
       spark.stop()
       PipelineCache.clear()

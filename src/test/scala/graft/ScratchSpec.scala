@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Scratch
+
+class ScratchSpec extends AnyFunSuite {
+
+  test("cleanupOrphans reaps dead-pid dirs and legacy shared-layout dirs, keeps live ones") {
+    val root = new java.io.File(Scratch.root)
+    root.mkdirs()
+    // a dir owned by THIS (live) process must survive
+    val live = new java.io.File(root, s"p${ProcessHandle.current().pid()}-spec")
+    live.mkdirs()
+    new java.io.File(live, "keep.bin").createNewFile()
+    // a dir owned by a pid that cannot exist (pid_max is < 2^22 + margin)
+    val dead = new java.io.File(root, "p999999999-spec")
+    dead.mkdirs()
+    new java.io.File(dead, "leak.bin").createNewFile()
+    // legacy shared-layout names are always orphans under the new layout
+    val legacy = new java.io.File(root, "blockmgr-deadbeef-spec")
+    legacy.mkdirs()
+    // unrecognized names must be left alone
+    val foreign = new java.io.File(root, "something-else")
+    foreign.mkdirs()
+    try {
+      Scratch.cleanupOrphans(): Unit
+      assert(live.exists(), "live-pid dir was reaped")
+      assert(!dead.exists(), "dead-pid dir survived")
+      assert(!legacy.exists(), "legacy blockmgr dir survived")
+      assert(foreign.exists(), "unrecognized dir was reaped")
+    } finally {
+      Seq(live, dead, legacy, foreign).foreach(Scratch.deleteRecursively)
+    }
+  }
+
+  test("localDir creates a per-pid dir under the root") {
+    val d = new java.io.File(Scratch.localDir("spec2"))
+    assert(d.exists() && d.isDirectory)
+    assert(d.getName == s"p${ProcessHandle.current().pid()}-spec2")
+    assert(d.getParentFile.getAbsolutePath == new java.io.File(Scratch.root).getAbsolutePath)
+    Scratch.deleteRecursively(d)
+  }
+}
