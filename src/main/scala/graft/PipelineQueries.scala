@@ -114,6 +114,19 @@ object PipelineQueries {
     new java.io.File("target/verify-fixtures/emb_pairs.parquet").getAbsolutePath
   private[graft] def embClusterPairsFixturePath: String =
     new java.io.File("target/verify-fixtures/emb_cluster_pairs.parquet").getAbsolutePath
+  /** Generator-side ground truth (expected decision / scrubbed caption /
+    * fault class per row) — lets DuckDB recompute the accuracy and
+    * scrub-equality aggregations independently. */
+  private[graft] def expectedFixturePath: String =
+    new java.io.File("target/verify-fixtures/expected_input.parquet").getAbsolutePath
+  private[graft] def decisionsFixturePath: String =
+    new java.io.File("target/verify-fixtures/decisions_out.parquet").getAbsolutePath
+
+  private def writeExpectedFixture(s: SparkSession): Unit =
+    ImageGen.expected(s, PipelineCache.genCfg(N))
+      .select(col("image_id"), col("decision").as("expected_decision"),
+        col("scrubbed_caption").as("expected_scrub"), col("fault_class"))
+      .coalesce(1).write.mode("overwrite").parquet(expectedFixturePath)
   private[graft] def lshTopkFixturePath: String =
     new java.io.File("target/verify-fixtures/ann_lsh_topk.parquet").getAbsolutePath
   private[graft] def ivfTopkFixturePath: String =
@@ -127,27 +140,41 @@ object PipelineQueries {
       PipelineCache.decisions(s, N).orderBy("image_id")),
 
     // Accuracy evidence: keep/drop confusion counts + F1 vs the seeded
-    // oracle labels (BASELINE.md F1 ≥ 0.99 gate)
+    // oracle labels (BASELINE.md F1 ≥ 0.99 gate). Hash-checked: the
+    // engine's decisions are written as a fixture and DuckDB recomputes
+    // tp/fp/fn/f1 from them against the generator's expected labels.
     "qf_f1" -> ((s, _) => {
-      val dec = PipelineCache.decisions(s, N)
-      val exp = ImageGen.expected(s, PipelineCache.genCfg(N))
-        .select(col("image_id"), col("decision").as("expected"))
-      val j = dec.join(exp, Seq("image_id")).cache()
-      val tp = j.filter(col("decision") === "drop" && col("expected") === "drop").count()
-      val fp = j.filter(col("decision") === "drop" && col("expected") === "keep").count()
-      val fn = j.filter(col("decision") === "keep" && col("expected") === "drop").count()
-      val f1 = graft.eval.Metrics.f1(tp, fp, fn)
+      writeExpectedFixture(s)
+      PipelineCache.decisions(s, N).select("image_id", "decision")
+        .coalesce(1).write.mode("overwrite").parquet(decisionsFixturePath)
+      val dec = s.read.parquet(decisionsFixturePath)
+      val exp = s.read.parquet(expectedFixturePath)
+        .select(col("image_id"), col("expected_decision").as("expected"))
+      val c = dec.join(exp, Seq("image_id")).agg(
+        sum(when(col("decision") === "drop" && col("expected") === "drop", 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("decision") === "drop" && col("expected") === "keep", 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("decision") === "keep" && col("expected") === "drop", 1L)
+          .otherwise(0L)).as("fn")).head()
+      val (tp, fp, fn) = (c.getLong(0), c.getLong(1), c.getLong(2))
       import s.implicits._
-      Seq((tp, fp, fn, f1)).toDF("tp", "fp", "fn", "f1")
+      Seq((tp, fp, fn, graft.eval.Metrics.f1(tp, fp, fn)))
+        .toDF("tp", "fp", "fn", "f1")
     }),
 
-    // M16: exact scrubbed-caption equality per fault class
+    // M16: exact scrubbed-caption equality per fault class. Hash-checked
+    // end-to-end: DuckDB re-runs the frozen scrub chain over the RAW
+    // caption fixture (same regexes, the q19 pattern) and compares
+    // against the generator's expected scrubs — a Spark-side scrub
+    // divergence would break the per-class counts.
     "qf_scrub_equality" -> ((s, _) => {
+      writeCaptionFixture(s)
+      writeExpectedFixture(s)
       val dec = PipelineCache.decisions(s, N)
         .select("image_id", "scrubbed_caption")
-      val exp = ImageGen.expected(s, PipelineCache.genCfg(N))
-        .select(col("image_id"), col("scrubbed_caption").as("expected_scrub"),
-          col("fault_class"))
+      val exp = s.read.parquet(expectedFixturePath)
+        .select("image_id", "expected_scrub", "fault_class")
       dec.join(exp, Seq("image_id"))
         .groupBy(col("fault_class"))
         .agg(count(lit(1)).as("n"),
@@ -480,6 +507,44 @@ object PipelineQueries {
         "SELECT CAST(UNNEST([0, 7, 42, 101, 333]) AS BIGINT) AS query_id", ifx),
       "qf_ann_ivf_driver" -> annRecallSql("embeddings", "vec_id < 3",
         "SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 3", idx),
+      // Recompute tp/fp/fn/f1 from the written decisions against the
+      // generator's expected labels (SUMs cast to BIGINT — DuckDB SUM is
+      // HUGEINT; f1 arithmetic mirrors Metrics.f1's op order exactly).
+      "qf_f1" -> {
+        val dfx = decisionsFixturePath.replace("'", "''") + "/*.parquet"
+        val xfx = expectedFixturePath.replace("'", "''") + "/*.parquet"
+        s"""WITH c AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN d.decision = 'drop' AND x.expected_decision = 'drop'
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN d.decision = 'drop' AND x.expected_decision = 'keep'
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN d.decision = 'keep' AND x.expected_decision = 'drop'
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM read_parquet('$dfx') d
+           |  JOIN read_parquet('$xfx') x ON x.image_id = d.image_id)
+           |SELECT tp, fp, fn,
+           |  2 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+           |    / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn))) AS f1
+           |FROM c""".stripMargin
+      },
+      // Re-run the frozen scrub chain over the raw captions in SQL and
+      // compare with the generator's expected scrubs, per fault class.
+      "qf_scrub_equality" -> {
+        val chain = graft.scrub.Scrub.rules.foldLeft("c.caption") {
+          case (acc, (_, pat, rep)) =>
+            val p = pat.replace("'", "''")
+            s"REGEXP_REPLACE($acc, '$p', '$rep', 'g')"
+        }
+        val xfx = expectedFixturePath.replace("'", "''") + "/*.parquet"
+        s"""SELECT x.fault_class,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN $chain = x.expected_scrub THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_exact
+           |FROM read_parquet('$cfx') c
+           |JOIN read_parquet('$xfx') x ON x.image_id = c.image_id
+           |GROUP BY x.fault_class ORDER BY x.fault_class""".stripMargin
+      },
       "qf_dedup_emb_clusters" ->
         s"""WITH RECURSIVE pr AS (
            |  SELECT id1, id2 FROM read_parquet('${embClusterPairsFixturePath
