@@ -770,13 +770,19 @@ object Bench {
       if (pairRows > 0L) {
         fields("scaling_mode") = "\"subprocess\""
         // measured weather of THIS window: worst child-wall inflation
-        // over the completed pair (1.0 = clean machine)
+        // over the completed pair (1.0 = clean machine). The clean
+        // divisor uses the passes the child ACTUALLY completed (ss.size
+        // — pair 1 has exactly one child per side), not the requested
+        // count: a slow child that self-budgeted down to one pass would
+        // otherwise divide by the two-pass model and UNDERREPORT the
+        // weather exactly when the machine is slow, handing pair 2 caps
+        // it cannot meet.
         val w = math.max(1.0,
           samples.filter(s => s.rows == pairRows &&
               (s.cpus == nLow || s.cpus == nHigh))
             .groupBy(_.cpus)
             .map { case (c, ss) =>
-              ss.map(_.wall).min / cleanWall(c, pairRows, passesPerChild) }
+              ss.map(_.wall).min / cleanWall(c, pairRows, ss.size) }
             .max)
         fields("scaling_weather") = jn(w, 2)
         // Leftover budget → ONE more pair at the LARGEST ladder size the
@@ -809,12 +815,20 @@ object Bench {
         // this order, pair 2's high child started right after the
         // context child exited and recorded cpu/wall = 0.58 with a
         // 1.6×-inflated floor. Context must never contaminate evidence.
+        // It runs at the LARGEST completed-pair size (pair 2 may have
+        // upgraded past pairRows; the summary keys the max-side fields
+        // to that largest group, so a context sample at the old size
+        // would be silently dropped from the artifact).
+        val ctxRows = samples.map(_.rows).distinct.filter(r =>
+          samples.exists(s => s.cpus == nLow && s.rows == r) &&
+            samples.exists(s => s.cpus == nHigh && s.rows == r))
+          .maxOption.getOrElse(pairRows)
         if (cpus > nHigh && remaining >
-            1.4 * w * cleanWall(cpus, pairRows, 1) + 12) {
+            1.4 * w * cleanWall(cpus, ctxRows, 1) + 12) {
           val keepPasses = passesPerChild
           passesPerChild = 1 // context, one pass is enough
-          sample(cpus, pairRows,
-            math.ceil(1.7 * w * cleanWall(cpus, pairRows, 1)).toLong): Unit
+          sample(cpus, ctxRows,
+            math.ceil(1.7 * w * cleanWall(cpus, ctxRows, 1)).toLong): Unit
           passesPerChild = keepPasses
         }
       } else if (remaining > 60) {

@@ -72,7 +72,9 @@ object GraftExtensions {
       s"$fn: parameter '$param' must be a literal integer, got non-literal ${e.sql}")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case l: Long => throw new IllegalArgumentException(
+        s"$fn: parameter '$param' out of Int range: $l")
       case other => throw new IllegalArgumentException(
         s"$fn: parameter '$param' must be a literal integer, got $other")
     }

@@ -65,11 +65,21 @@ object PipelineQueries {
   private[graft] def phashFixturePath: String =
     new java.io.File("target/verify-fixtures/phash_input.parquet").getAbsolutePath
 
-  /** Write the fixture the phash oracles read (idempotent overwrite —
-    * both phash queries call it so map iteration order doesn't matter). */
-  private def writePhashFixture(s: SparkSession): Unit =
+  /** Several queries share an input fixture; content is a pure function
+    * of the deterministic generator, so each PROCESS writes a given
+    * fixture once and later callers reuse the file (the duplicate
+    * coalesce(1) writes were otherwise charged into every sharing
+    * query's bench timing). */
+  private val fixtureWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def writeOnce(path: String)(body: => Unit): Unit =
+    fixtureWritten.getOrElseUpdate(path, { body; true }): Unit
+
+  /** Write the fixture the phash oracles read (both phash queries call
+    * it so map iteration order doesn't matter). */
+  private def writePhashFixture(s: SparkSession): Unit = writeOnce(phashFixturePath) {
     PipelineCache.images(s, N).select(col("image_id"), col("phash"))
       .coalesce(1).write.mode("overwrite").parquet(phashFixturePath)
+  }
 
   /** (image_id, simhash64(caption)) fixture for the simhash-dedup
     * oracle — the engine's banding has GUARANTEED recall at
@@ -78,11 +88,12 @@ object PipelineQueries {
   private[graft] def simhashFixturePath: String =
     new java.io.File("target/verify-fixtures/simhash_input.parquet").getAbsolutePath
 
-  private def writeSimhashFixture(s: SparkSession): Unit =
+  private def writeSimhashFixture(s: SparkSession): Unit = writeOnce(simhashFixturePath) {
     PipelineCache.images(s, N)
       .select(col("image_id"),
         org.apache.spark.sql.graft.Exprs.simhash64(col("caption")).as("simhash"))
       .coalesce(1).write.mode("overwrite").parquet(simhashFixturePath)
+  }
 
   /** (image_id, caption) fixture for the n-gram Jaccard oracle: the
     * operator's candidate rule (distinct shingles among the first 32
@@ -92,9 +103,10 @@ object PipelineQueries {
   private[graft] def captionFixturePath: String =
     new java.io.File("target/verify-fixtures/caption_input.parquet").getAbsolutePath
 
-  private def writeCaptionFixture(s: SparkSession): Unit =
+  private def writeCaptionFixture(s: SparkSession): Unit = writeOnce(captionFixturePath) {
     PipelineCache.images(s, N).select(col("image_id"), col("caption"))
       .coalesce(1).write.mode("overwrite").parquet(captionFixturePath)
+  }
 
   /** Emitted-pair fixtures for the SOUNDNESS oracles: the engine's
     * signature banding (minhash) / hyperplane bucketing (embedding) is
@@ -122,11 +134,30 @@ object PipelineQueries {
   private[graft] def decisionsFixturePath: String =
     new java.io.File("target/verify-fixtures/decisions_out.parquet").getAbsolutePath
 
-  private def writeExpectedFixture(s: SparkSession): Unit =
+  private def writeExpectedFixture(s: SparkSession): Unit = writeOnce(expectedFixturePath) {
     ImageGen.expected(s, PipelineCache.genCfg(N))
       .select(col("image_id"), col("decision").as("expected_decision"),
         col("scrubbed_caption").as("expected_scrub"), col("fault_class"))
       .coalesce(1).write.mode("overwrite").parquet(expectedFixturePath)
+  }
+
+  /** Shared ANN-recall shape: write the engine's top-k as a fixture,
+    * count per-query hits against the brute-force baseline, and keep
+    * zero-hit queries as explicit 0 rows (a recall collapse must surface
+    * as a value, not a missing row). The DuckDB side mirrors this via
+    * [[oracleSql]]'s annRecallSql. */
+  private def recallVsBrute(s: SparkSession, brute: DataFrame, topk: DataFrame,
+      qIds: Seq[Long], fixturePath: String): DataFrame = {
+    import s.implicits._
+    topk.coalesce(1).write.mode("overwrite").parquet(fixturePath)
+    val back = s.read.parquet(fixturePath)
+    val hits = brute.join(back, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    qIds.toDF("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_of_5"))
+      .orderBy("query_id")
+  }
   private[graft] def lshTopkFixturePath: String =
     new java.io.File("target/verify-fixtures/ann_lsh_topk.parquet").getAbsolutePath
   private[graft] def ivfTopkFixturePath: String =
@@ -257,7 +288,9 @@ object PipelineQueries {
     // (cos rounded to 4dp on both sides, the qf_ann_brute convention).
     "qf_dedup_embedding" -> ((s, _) => {
       val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L)
-      emb.coalesce(1).write.mode("overwrite").parquet(embFixturePath)
+      writeOnce(embFixturePath) {
+        emb.coalesce(1).write.mode("overwrite").parquet(embFixturePath)
+      }
       graft.ops.Similarity.cosineNearDupPairs(emb, dim = 32)
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
         .coalesce(1).write.mode("overwrite").parquet(embPairsFixturePath)
@@ -307,24 +340,16 @@ object PipelineQueries {
       import s.implicits._
       val qIds = Seq(0L, 7L, 42L, 101L, 333L)
       val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L).cache()
-      emb.coalesce(1).write.mode("overwrite").parquet(embFixturePath)
+      writeOnce(embFixturePath) {
+        emb.coalesce(1).write.mode("overwrite").parquet(embFixturePath)
+      }
       val queries = emb.filter(col("vec_id").isin(qIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 5)
         .select("query_id", "vec_id")
       val ivf = graft.ops.Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
         .select("query_id", "vec_id")
-      ivf.coalesce(1).write.mode("overwrite").parquet(ivfTopkFixturePath)
-      val ivfBack = s.read.parquet(ivfTopkFixturePath)
-      // Left-join the hit counts back onto the full query set: a recall
-      // collapse must surface as hits_of_5=0, not as a silently missing
-      // row (the semi-join → groupBy shape dropped zero-hit queries).
-      val hits = brute.join(ivfBack, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("h"))
-      val out = qIds.toDF("query_id")
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_of_5"))
-        .orderBy("query_id")
+      val out = recallVsBrute(s, brute, ivf, qIds, ivfTopkFixturePath)
         .as[(Long, Long)].collect() // materialize, then release the cache
       emb.unpersist()
       out.toSeq.toDF("query_id", "hits_of_5")
@@ -336,7 +361,6 @@ object PipelineQueries {
     // recomputes brute top-5 from the raw table and intersects with the
     // written LSH output.
     "qf_ann_lsh_recall" -> ((s, d) => {
-      import s.implicits._
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -344,14 +368,7 @@ object PipelineQueries {
         .select("query_id", "vec_id")
       val lsh = graft.ops.Similarity.lshTopK(emb, queries, 5, dim = 64)
         .select("query_id", "vec_id")
-      lsh.coalesce(1).write.mode("overwrite").parquet(lshTopkFixturePath)
-      val lshBack = s.read.parquet(lshTopkFixturePath)
-      val hits = brute.join(lshBack, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("h"))
-      Seq(0L, 1L, 2L).toDF("query_id")
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_of_5"))
-        .orderBy("query_id")
+      recallVsBrute(s, brute, lsh, Seq(0L, 1L, 2L), lshTopkFixturePath)
     }),
 
     // Similarity: IVF recall over the DRIVER's embeddings table (both
@@ -362,7 +379,6 @@ object PipelineQueries {
     // exactly by the oracle; the clustered-corpus case is
     // qf_ann_ivf_recall.
     "qf_ann_ivf_driver" -> ((s, d) => {
-      import s.implicits._
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -370,14 +386,7 @@ object PipelineQueries {
         .select("query_id", "vec_id")
       val ivf = graft.ops.Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
         .select("query_id", "vec_id")
-      ivf.coalesce(1).write.mode("overwrite").parquet(ivfDriverTopkFixturePath)
-      val ivfBack = s.read.parquet(ivfDriverTopkFixturePath)
-      val hits = brute.join(ivfBack, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("h"))
-      Seq(0L, 1L, 2L).toDF("query_id")
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_of_5"))
-        .orderBy("query_id")
+      recallVsBrute(s, brute, ivf, Seq(0L, 1L, 2L), ivfDriverTopkFixturePath)
     }),
 
     // Multimodal: real ImageIO decode + channel-mean feature extraction
@@ -522,11 +531,15 @@ object PipelineQueries {
            |    CAST(SUM(CASE WHEN d.decision = 'keep' AND x.expected_decision = 'drop'
            |             THEN 1 ELSE 0 END) AS BIGINT) AS fn
            |  FROM read_parquet('$dfx') d
-           |  JOIN read_parquet('$xfx') x ON x.image_id = d.image_id)
+           |  JOIN read_parquet('$xfx') x ON x.image_id = d.image_id),
+           |pr AS (
+           |  SELECT tp, fp, fn,
+           |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p,
+           |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r
+           |  FROM c)
            |SELECT tp, fp, fn,
-           |  2 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
-           |    / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn))) AS f1
-           |FROM c""".stripMargin
+           |  CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1
+           |FROM pr""".stripMargin
       },
       // Re-run the frozen scrub chain over the raw captions in SQL and
       // compare with the generator's expected scrubs, per fault class.

@@ -21,12 +21,17 @@ object Scratch {
 
   val root = "/dev/shm/graft-spark"
 
-  /** This process's scratch dir for `tag` (created, reaped on exit). */
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** This process's scratch dir for `tag` (created; reaped on clean
+    * exit by a once-per-tag shutdown hook — repeated sessions in one
+    * JVM must not stack duplicate hooks). */
   def localDir(tag: String): String = {
     val pid = ProcessHandle.current().pid()
     val dir = new java.io.File(root, s"p$pid-$tag")
     dir.mkdirs()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    if (hooked.add(tag))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
     dir.getAbsolutePath
   }
 

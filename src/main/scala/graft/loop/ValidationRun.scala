@@ -193,8 +193,17 @@ object ValidationRun {
       // Next round reads the statuses straight off the cached frame (its
       // content is byte-identical to the checkpoint just written) — no
       // parquet round-trip per round. The checkpoint stays the resume
-      // source of truth for fresh processes.
-      statuses = flagged.select(col("image_id"), col("status_new").as("status"))
+      // source of truth for fresh processes. Every 5th round the
+      // just-written checkpoint is read back instead: the cache
+      // shortcuts EXECUTION but not ANALYSIS, so chaining frames would
+      // nest every prior round's logical plan (unbounded analysis time /
+      // stack depth for large cfg.rounds, and an eviction under memory
+      // pressure would recompute through every predecessor); the
+      // periodic read truncates the lineage at a bounded depth.
+      statuses =
+        if (r % 5 == 0)
+          TableIO.read(spark, statusPath(cfg, r)).select("image_id", "status")
+        else flagged.select(col("image_id"), col("status_new").as("status"))
       prevFlagged.foreach(_.unpersist())
       prevFlagged = Some(flagged)
     }
