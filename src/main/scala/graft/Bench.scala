@@ -799,14 +799,25 @@ object Bench {
         val ctxCost =
           if (cpus > nHigh) 1.4 * w * cleanWall(cpus, pairRows, 1) + 12 else 0.0
         if (maxPairs >= 2) {
-          ladder.find(r => remaining >=
-              1.1 * w * (cleanWall(nHigh, r, passesPerChild) +
-                cleanWall(nLow, r, passesPerChild)) + pairSlack + ctxCost)
-            .foreach { r =>
-              pairAt(r,
-                math.ceil(1.7 * w * cleanWall(nHigh, r, passesPerChild)).toLong,
-                math.ceil(1.7 * w * cleanWall(nLow, r, passesPerChild)).toLong): Unit
-            }
+          def pairCost(r: Long): Double =
+            1.1 * w * (cleanWall(nHigh, r, passesPerChild) +
+              cleanWall(nLow, r, passesPerChild)) + pairSlack
+          val withCtx = ladder.find(r => remaining >= pairCost(r) + ctxCost)
+          // When only the context-sample reservation forces pair 2 below
+          // the primary size, SACRIFICE THE CONTEXT SAMPLE instead: a
+          // same-size pair reinforces the primary floor (sizes never
+          // cross-pair, so a smaller pair cannot), and the context
+          // number is context, not evidence.
+          val r2 = withCtx match {
+            case Some(r) if r >= pairRows => withCtx
+            case other =>
+              if (remaining >= pairCost(pairRows)) Some(pairRows) else other
+          }
+          r2.foreach { r =>
+            pairAt(r,
+              math.ceil(1.7 * w * cleanWall(nHigh, r, passesPerChild)).toLong,
+              math.ceil(1.7 * w * cleanWall(nLow, r, passesPerChild)).toLong): Unit
+          }
         }
         // Full-thread context sample (8→32 efficiency + max-thread rate)
         // runs LAST: a 32-thread child churns every core, and the next
