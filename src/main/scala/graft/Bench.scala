@@ -472,11 +472,25 @@ object Bench {
       "ann_lsh_sec")
     def flushFinal(): Unit = {
       flush()
+      // a mass-failure errors map must not blow the tail window either —
+      // that is exactly when the driver needs a parseable line: past a
+      // size cap the final line carries the failure COUNT and the first
+      // failing query, with the full map on the earlier lines/bench.json
+      def errorsForFinal: Option[(String, String)] = {
+        val v = fields.getOrElse("errors", "{}")
+        if (v == "{}") None
+        else if (v.length <= 350) Some("errors" -> v)
+        else {
+          val firstKey = v.drop(2).takeWhile(_ != '"')
+          val n = fields.getOrElse("errors_n", "-1")
+          Some("errors_truncated" ->
+            s"""{"failed_queries":$n,"first":"$firstKey"}""")
+        }
+      }
       def compactLine(dropRatios: Boolean): String = render(fields.filter {
-        case (k, v) =>
-          (finalKeys.contains(k) && !(dropRatios && k == "scaling_pair_ratios")) ||
-            (k == "errors" && v != "{}")
-      })
+        case (k, _) =>
+          finalKeys.contains(k) && !(dropRatios && k == "scaling_pair_ratios")
+      } ++ errorsForFinal)
       val line = compactLine(dropRatios = false)
       println(if (line.length <= 1950) line else compactLine(dropRatios = true))
       System.out.flush()
@@ -502,6 +516,7 @@ object Bench {
           "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
             .replaceAll("[\r\n\t]", " ") + "\""
         }.mkString("{", ",", "}")
+        fields("errors_n") = errors.size.toString
         fields("value") = jn(results.map(_._2).sum, 2)
         if (done) fields("phase_completed") = "\"queries\""
         flush()
