@@ -133,6 +133,8 @@ object PipelineQueries {
     new java.io.File("target/verify-fixtures/expected_input.parquet").getAbsolutePath
   private[graft] def decisionsFixturePath: String =
     new java.io.File("target/verify-fixtures/decisions_out.parquet").getAbsolutePath
+  private[graft] def langidFixturePath: String =
+    new java.io.File("target/verify-fixtures/langid_out.parquet").getAbsolutePath
 
   private def writeExpectedFixture(s: SparkSession): Unit = writeOnce(expectedFixturePath) {
     ImageGen.expected(s, PipelineCache.genCfg(N))
@@ -233,12 +235,16 @@ object PipelineQueries {
     }),
 
     // M2: langid model predictions per language — native codegen'd
-    // expression (no UDF serde), same broadcast weights as the pipeline
+    // expression (no UDF serde), same broadcast weights as the pipeline.
+    // Hash-checked via the fixture pattern: the per-row predictions are
+    // written and DuckDB recomputes the per-language counts.
     "qf_langid_counts" -> ((s, _) => {
       val m = PipelineCache.models(s, N)
       PipelineCache.images(s, N)
-        .select(org.apache.spark.sql.graft.Exprs
+        .select(col("image_id"), org.apache.spark.sql.graft.Exprs
           .langidBest(col("caption"), m.langId).as("pred_lang"))
+        .coalesce(1).write.mode("overwrite").parquet(langidFixturePath)
+      s.read.parquet(langidFixturePath)
         .groupBy("pred_lang").agg(count(lit(1)).as("n"))
         .orderBy("pred_lang")
     }),
@@ -540,6 +546,13 @@ object PipelineQueries {
            |SELECT tp, fp, fn,
            |  CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1
            |FROM pr""".stripMargin
+      },
+      // Recompute the per-language counts from the written predictions.
+      "qf_langid_counts" -> {
+        val lfx2 = langidFixturePath.replace("'", "''") + "/*.parquet"
+        s"""SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM read_parquet('$lfx2')
+           |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
       },
       // Re-run the frozen scrub chain over the raw captions in SQL and
       // compare with the generator's expected scrubs, per fault class.
