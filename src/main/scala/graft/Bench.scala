@@ -10,12 +10,16 @@ import graft.synth.{GenConfig, ImageGen}
   *
   * Contract: emits a machine-readable JSON object on stdout and in
   * `target/bench.json`. Phase order: two-parallelism scaling →
-  * substrate probes → per-query timings → dedup/ANN throughput. The
+  * substrate probes → dedup/ANN throughput → per-query timings. The
   * scaling subprocesses go FIRST because they must see the pristine
   * machine: children launched after the in-process query phases churned
   * GBs of heap/page cache measured up to 3× slower than identical
   * children on a fresh VM (four runs reproduced it; interleaved
-  * interactive launches stayed fast). Timeout safety comes not from
+  * interactive launches stayed fast). The dedup/ANN throughput rows run
+  * BEFORE the query sweep for the same reason one JVM-level down: they
+  * are single-operator claims measured in-process, and rounds 3-4 both
+  * recorded an order-of-magnitude MinHash deflation when they ran after
+  * ~50 queries of heap/cache churn. Timeout safety comes not from
   * ordering but from flushing: the cumulative JSON is re-printed and
   * re-written after EVERY completed phase and every scaling sample, so
   * a harness kill at any point still leaves a parseable line with
@@ -23,6 +27,18 @@ import graft.synth.{GenConfig, ImageGen}
   * the most complete. (Round 2 had no intermediate flush; the harness
   * timeout left `rc=124, parsed:null` and zero driver-verified
   * evidence.)
+  *
+  * WEATHER TELEMETRY: every phase (and every 10 queries) records a
+  * compact [loadavg, cpu_busy_frac, cpu_steal_frac, sibling_jvm_count]
+  * snapshot, so a contended driver window indicts the machine in the
+  * artifact itself instead of having to be inferred from the inflation
+  * pattern (round 4's query phase ran 3.1× slow with zero in-artifact
+  * evidence of why). VALIDITY: `scaling_efficiency` is only ever
+  * emitted from a fresh-subprocess pair and only inside the sanity
+  * envelope [0, 1.25]; anything else lands under
+  * `scaling_ratio_inproc`/`scaling_efficiency_raw` with the gate field
+  * null and `scaling_invalid_reason` set (round 4's in-proc fallback
+  * published a physically impossible 25.7 under the gate key).
   *
   * Scaling protocol — PRE-REGISTERED, no outcome-conditioned logic.
   * THE PAIR IS THE UNIT: an (N-core, 4N-core) child pair — low side
@@ -398,20 +414,50 @@ object Bench {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
     } catch { case _: Throwable => -1.0 }
-    // Instantaneous whole-box CPU busy fraction over a 2 s window
-    // (/proc/stat deltas; idle+iowait counted as idle) — unlike loadavg's
-    // 1-minute EMA this reacts immediately when a churn phase ends.
-    def cpuBusyFrac(): Double = try {
-      def snap(): (Long, Long) = {
+    // Instantaneous whole-box CPU (busy, steal) fractions over a short
+    // window (/proc/stat deltas; idle+iowait counted as idle) — unlike
+    // loadavg's 1-minute EMA this reacts immediately when a churn phase
+    // ends, and steal directly implicates the hypervisor.
+    def cpuBusySteal(windowMs: Int): (Double, Double) = try {
+      def snap(): (Long, Long, Long) = {
         val vals = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/stat")))
           .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
-        (vals.sum, vals(3) + vals(4))
+        (vals.sum, vals(3) + vals(4), if (vals.length > 7) vals(7) else 0L)
       }
-      val (t0, i0) = snap(); Thread.sleep(2000); val (t1, i1) = snap()
+      val (t0, i0, s0) = snap(); Thread.sleep(windowMs.toLong)
+      val (t1, i1, s1) = snap()
       val dt = (t1 - t0).toDouble
-      if (dt <= 0) 0.0 else 1.0 - (i1 - i0) / dt
-    } catch { case _: Throwable => 0.0 }
+      if (dt <= 0) (0.0, 0.0)
+      else (1.0 - (i1 - i0) / dt, (s1 - s0) / dt)
+    } catch { case _: Throwable => (0.0, 0.0) }
+    def cpuBusyFrac(): Double = cpuBusySteal(2000)._1
+    // Count of OTHER live java processes on the box (self and known
+    // bench children excluded): a nonzero count during a measurement
+    // phase is direct machine-readable evidence that the window was
+    // contended by a sibling JVM the bench did not launch.
+    val ownPids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    ownPids.add(ProcessHandle.current().pid())
+    // the sbt launcher that forked this process is expected and benign
+    ProcessHandle.current().parent().ifPresent(p => ownPids.add(p.pid()))
+    def siblingJvms(): Int = try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get("/proc")).iterator().asScala
+        .flatMap(p => p.getFileName.toString.toLongOption)
+        .count { pid =>
+          !ownPids.contains(pid) && {
+            try new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/$pid/comm"))).trim == "java"
+            catch { case _: Throwable => false }
+          }
+        }
+    } catch { case _: Throwable => -1 }
+    // One compact weather snapshot: [loadavg, busy_frac, steal_frac,
+    // sibling_jvm_count]. ~0.5 s each (the /proc/stat delta window).
+    def weatherSnap(): String = {
+      val (b, st) = cpuBusySteal(500)
+      s"[${jn(loadAvg(), 1)},${jn(b, 2)},${jn(st, 2)},${siblingJvms()}]"
+    }
     // Settle until the box is QUIET (busy < 10%) or the wait cap: a
     // fixed sleep under-waits right after a 32-thread phase (the first
     // scaling child of round 4's dry run started at loadavg 7.6 and
@@ -460,16 +506,20 @@ object Bench {
     // and secondary fields stay on the earlier full lines and in
     // target/bench.json; a NON-EMPTY errors map is always kept, a
     // failing query must never look green). If even the whitelist
-    // overflows ~1950 chars, the pair-ratios array is dropped before the
-    // per-query timings are (both recoverable from target/bench.json).
+    // overflows ~1950 chars, fields are dropped in staged order —
+    // pair-ratios array, then the weather arrays, then the per-query
+    // timings (all recoverable from target/bench.json) — until it fits.
     val finalKeys = Seq("metric", "value", "unit", "queries", "sf",
       "phase_completed", "elapsed_sec", "scaling_efficiency",
+      "scaling_invalid_reason", "scaling_ratio_inproc",
+      "scaling_efficiency_raw",
       "scaling_rows_used", "scaling_pair_ratios",
       "scaling_efficiency_median_pair", "score_sec_low", "score_sec_high",
       "images_per_sec_low", "images_per_sec_high", "scaling_weather",
       "scaling_sample_failures", "scaling_mode", "minhash_docs_per_sec",
-      "simhash_docs_per_sec", "ngram_docs_per_sec", "ann_brute_sec",
-      "ann_lsh_sec")
+      "simhash_docs_per_sec", "ngram_docs_per_sec", "cosdup_docs_per_sec",
+      "ann_brute_sec", "ann_lsh_sec", "queries_weather", "dedup_weather",
+      "queries_pass2_n")
     def flushFinal(): Unit = {
       flush()
       // a mass-failure errors map must not blow the tail window either —
@@ -487,19 +537,50 @@ object Bench {
             s"""{"failed_queries":$n,"first":"$firstKey"}""")
         }
       }
-      def compactLine(dropRatios: Boolean): String = render(fields.filter {
-        case (k, _) =>
-          finalKeys.contains(k) && !(dropRatios && k == "scaling_pair_ratios")
-      } ++ errorsForFinal)
-      val line = compactLine(dropRatios = false)
-      println(if (line.length <= 1950) line else compactLine(dropRatios = true))
+      // staged drops, least-essential first; stage 3 replaces the query
+      // map with a marker so the truncation is visible, never silent
+      val dropStages = Seq(
+        Set.empty[String],
+        Set("scaling_pair_ratios"),
+        Set("scaling_pair_ratios", "queries_weather", "dedup_weather"),
+        Set("scaling_pair_ratios", "queries_weather", "dedup_weather",
+          "queries"))
+      def compactLine(drop: Set[String]): String = render(fields.filter {
+        case (k, _) => finalKeys.contains(k) && !drop.contains(k)
+      } ++ (if (drop.contains("queries"))
+              Seq("queries_in" -> "\"target/bench.json\"") else Nil)
+        ++ errorsForFinal)
+      val line = dropStages.iterator.map(compactLine)
+        .find(_.length <= 1950)
+        .getOrElse(compactLine(dropStages.last))
+      println(line)
       System.out.flush()
     }
 
-    // --- Query phase (RUNS AFTER scaling, see phase order note in the
-    // class doc; per-phase JSON flushing keeps every phase crash-safe
-    // regardless of order). A failing query must NOT bench as
-    // fast-and-green: record the error string per query and surface it.
+    // --- Query phase (RUNS LAST, see phase order note in the class doc;
+    // per-phase JSON flushing keeps every phase crash-safe regardless of
+    // order). A failing query must NOT bench as fast-and-green: record
+    // the error string per query and surface it.
+    //
+    // FLOOR-OF-2 (round-5 robustness): each query is timed in TWO full
+    // sweeps and reported as the per-query MIN — round 4's driver window
+    // inflated unchanged trivial queries 20-40× (q09 0.76→33.7 s) and a
+    // single-pass phase had no defense; host steal only ever ADDS time,
+    // so the min over two time-separated passes approximates the clean
+    // machine (the same noise-floor convention as the scaling estimator
+    // and the dedup phase). Pass 2 reuses the session's warm
+    // PipelineCache, so for the handful of qf_* queries whose FIRST pass
+    // built a shared cached frame the pass-2 time is the marginal
+    // (warm-cache) cost — identical semantics to what later queries in
+    // pass 1 already report; both raw sweeps are emitted
+    // (`queries_pass1`/`queries_pass2`) so nothing is hidden. The
+    // memoized 3-round loop is explicitly reset so its pass 2 re-runs
+    // the real work. Pass 2 is budget-bounded (never value-conditioned):
+    // the sweep stops once its own elapsed time exceeds
+    // max(120 s, pass-1 total) and remaining queries keep pass-1 times.
+    // A weather snapshot [loadavg, busy, steal, sibling-jvms] is taken
+    // every 10 queries so a degraded window is machine-readable in the
+    // artifact instead of inferred from the inflation pattern.
     def queryPhase(): Unit = {
       val spark = session(cpus)
       // untimed warmup: the alphabetically-first query otherwise absorbs
@@ -508,61 +589,106 @@ object Bench {
       try { spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit }
       catch { case _: Throwable => () }
       val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val pass1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val wsnaps = scala.collection.mutable.ArrayBuffer.empty[String]
       def renderQueries(done: Boolean): Unit = {
-        fields("queries") = results.map { case (k, v) => "\"" + k + "\":" + jn(v, 2) }
-          .mkString("{", ",", "}")
+        fields("queries") = pass1.map { case (k, v) =>
+          "\"" + k + "\":" + jn(math.min(v, pass2.getOrElse(k, v)), 2)
+        }.mkString("{", ",", "}")
+        fields("queries_pass1") = pass1.map { case (k, v) =>
+          "\"" + k + "\":" + jn(v, 2) }.mkString("{", ",", "}")
+        fields("queries_pass2") = pass2.map { case (k, v) =>
+          "\"" + k + "\":" + jn(v, 2) }.mkString("{", ",", "}")
+        fields("queries_pass2_n") = pass2.size.toString
+        fields("queries_weather") = wsnaps.mkString("[", ",", "]")
         fields("errors") = errors.map { case (k, v) =>
           "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
             .replaceAll("[\r\n\t]", " ") + "\""
         }.mkString("{", ",", "}")
         fields("errors_n") = errors.size.toString
-        fields("value") = jn(results.map(_._2).sum, 2)
+        // headline total stays the pass-1 sweep wall (comparable to
+        // earlier rounds' single-pass semantics); the floor total rides
+        // alongside
+        fields("value") = jn(pass1.values.sum, 2)
+        fields("value_floor") = jn(pass1.map { case (k, v) =>
+          math.min(v, pass2.getOrElse(k, v)) }.sum, 2)
         if (done) fields("phase_completed") = "\"queries\""
         flush()
       }
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      def sweep(into: scala.collection.mutable.LinkedHashMap[String, Double],
+          budgetSec: Double): Unit = {
+        val t0 = elapsed
+        var i = 0
+        ordered.foreach { case (name, fn) =>
+          if (budgetSec <= 0 || elapsed - t0 < budgetSec) {
+            val t = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch {
+              case e: Throwable => errors.getOrElseUpdate(name,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"): Unit
+            }
+            into += name -> (System.nanoTime() - t) / 1e9
+            i += 1
+            // weather + partial flush every 10 queries: a harness kill
+            // mid-phase still leaves the timings measured so far, and a
+            // sick window shows up as busy/steal/siblings in the snaps
+            if (i % 10 == 0) { wsnaps += weatherSnap(); renderQueries(done = false) }
+          }
         }
-        results += name -> (System.nanoTime() - t0) / 1e9
-        // partial flush every 10 queries: a harness kill mid-phase still
-        // leaves the timings measured so far
-        if (results.size % 10 == 0) renderQueries(done = false)
       }
+      wsnaps += weatherSnap()
+      sweep(pass1, 0)
+      renderQueries(done = false)
+      val pass1Total = pass1.values.sum
+      PipelineLoop.reset() // the memoized loop must re-run in pass 2
+      sweep(pass2, math.max(120.0, pass1Total))
+      wsnaps += weatherSnap()
       renderQueries(done = true)
       spark.stop()
       PipelineCache.clear()
+      PipelineLoop.reset()
     }
 
-    // --- Dedup/ANN throughput phase: its OWN fresh session. Round 3
-    // timed these ops inside the 49-query session — after that session
-    // had churned caches and heap for ~190 s, the driver artifact
-    // recorded minhash at 811 docs/s against a standalone-measured ~25k;
-    // the throughput row must measure the operator, not the session's
-    // leftovers. Each op is timed twice and reported as the FLOOR with
-    // both raw runs alongside (same noise-floor convention as the
-    // scaling estimator; host steal only ever ADDS time).
+    // --- Dedup/ANN throughput phase: its OWN fresh session, and it runs
+    // BEFORE the query phase — round 3 timed these ops inside the
+    // 49-query session (811 docs/s vs ~25k standalone) and round 4's
+    // fresh-session-after-the-query-phase still shared the sbt JVM's
+    // churned heap (driver artifact: 1854 docs/s); the throughput row
+    // must measure the operator in the cleanest in-process state
+    // available, which is right after the subprocess-only scaling phase.
+    // Each op is timed twice and reported as the FLOOR with all raw runs
+    // alongside (host steal only ever ADDS time); when the two passes
+    // disagree by >1.5× — the signature of a steal burst hitting one of
+    // them — a THIRD pass is taken (spread-triggered, never
+    // value-direction-triggered) so one bad sub-minute window cannot own
+    // the floor. A weather snapshot is recorded before every op.
     def dedupPhase(): Unit = {
+      settleQuiet(30): Unit
       val spark = session(cpus)
       fields("dedup_loadavg") = jn(loadAvg(), 2)
+      val dweather = scala.collection.mutable.ArrayBuffer.empty[String]
+      def opWeather(): Unit = {
+        dweather += weatherSnap()
+        fields("dedup_weather") = dweather.mkString("[", ",", "]")
+      }
       val dedupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_ROWS", "200000").toLong
       val dedupImages = ImageGen.images(spark,
         GenConfig(n = dedupN, parts = 128)).cache()
       dedupImages.count()
-      def floor2(body: => Unit): (Double, Double, Double) = {
+      def floorN(body: => Unit): (Double, Seq[Double]) = {
         def one(): Double = {
           val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
         }
         val a = one(); val b = one()
-        (math.min(a, b), a, b)
+        val runs = if (math.max(a, b) / math.min(a, b) > 1.5)
+          Seq(a, b, one()) else Seq(a, b)
+        (runs.min, runs)
       }
       // a throwing op must cost this phase ONE row, not the whole bench:
       // the error is recorded per op and the remaining ops still run
       def guarded(tag: String)(body: => Unit): Unit =
-        try body catch {
+        try { opWeather(); body } catch {
           case e: Throwable =>
             fields(s"${tag}_error") = "\"" +
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
@@ -570,16 +696,16 @@ object Bench {
                 .replaceAll("[\r\n\t]", " ") + "\""
             flush()
         }
-      def emitRate(tag: String, rows: Long, t: (Double, Double, Double)): Unit = {
+      def emitRate(tag: String, rows: Long, t: (Double, Seq[Double])): Unit = {
         fields(s"${tag}_docs_per_sec") = jn(rows / t._1, 0)
-        fields(s"${tag}_secs") = Seq(t._2, t._3).map(jn(_, 2)).mkString("[", ",", "]")
+        fields(s"${tag}_secs") = t._2.map(jn(_, 2)).mkString("[", ",", "]")
         flush()
       }
       fields("dedup_rows") = dedupN.toString
       guarded("minhash")(emitRate("minhash", dedupN,
-        floor2(graft.ops.Dedup.minhashPairs(dedupImages, "image_id", "caption").count(): Unit)))
+        floorN(graft.ops.Dedup.minhashPairs(dedupImages, "image_id", "caption").count(): Unit)))
       guarded("simhash")(emitRate("simhash", dedupN,
-        floor2(graft.ops.Dedup.simhashPairs(dedupImages, "image_id", "caption").count(): Unit)))
+        floorN(graft.ops.Dedup.simhashPairs(dedupImages, "image_id", "caption").count(): Unit)))
       dedupImages.unpersist(blocking = true)
       // n-gram Jaccard verifies EVERY band candidate exactly (no
       // signature pruning) — inherently the most expensive family
@@ -591,7 +717,7 @@ object Bench {
       ngramImages.count()
       fields("ngram_rows") = ngramN.toString
       guarded("ngram")(emitRate("ngram", ngramN,
-        floor2(graft.ops.Dedup.ngramJaccardPairs(ngramImages, "image_id", "caption").count(): Unit)))
+        floorN(graft.ops.Dedup.ngramJaccardPairs(ngramImages, "image_id", "caption").count(): Unit)))
       ngramImages.unpersist(blocking = true)
 
       val annN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANN_ROWS", "100000").toLong
@@ -600,15 +726,19 @@ object Bench {
       val queries = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       fields("ann_rows") = annN.toString
+      // embedding near-dup pairs: the one similarity-family member that
+      // previously had no throughput row
+      guarded("cosdup")(emitRate("cosdup", annN,
+        floorN(graft.ops.Similarity.cosineNearDupPairs(emb, dim = 32).count(): Unit)))
       guarded("ann_brute") {
-        val tb = floor2(graft.ops.Similarity.bruteForceTopK(emb, queries, 10).count(): Unit)
+        val tb = floorN(graft.ops.Similarity.bruteForceTopK(emb, queries, 10).count(): Unit)
         fields("ann_brute_sec") = jn(tb._1, 2)
-        fields("ann_brute_secs") = Seq(tb._2, tb._3).map(jn(_, 2)).mkString("[", ",", "]")
+        fields("ann_brute_secs") = tb._2.map(jn(_, 2)).mkString("[", ",", "]")
       }
       guarded("ann_lsh") {
-        val tl = floor2(graft.ops.Similarity.lshTopK(emb, queries, 10, dim = 32).count(): Unit)
+        val tl = floorN(graft.ops.Similarity.lshTopK(emb, queries, 10, dim = 32).count(): Unit)
         fields("ann_lsh_sec") = jn(tl._1, 2)
-        fields("ann_lsh_secs") = Seq(tl._2, tl._3).map(jn(_, 2)).mkString("[", ",", "]")
+        fields("ann_lsh_secs") = tl._2.map(jn(_, 2)).mkString("[", ",", "]")
       }
       emb.unpersist(blocking = true)
       spark.stop()
@@ -675,8 +805,31 @@ object Bench {
         val kEq = math.min(lowsN.size, highsN.size)
         val bestLow = lowsN.take(kEq).map(_.score).min
         val bestHigh = highsN.take(kEq).map(_.score).min
-        fields("scaling_efficiency") =
-          jn((bestLow / bestHigh) / (nHigh.toDouble / nLow), 3)
+        val eff = (bestLow / bestHigh) / (nHigh.toDouble / nLow)
+        // VALIDITY GATE on the driver's key field (round 4 published a
+        // physically impossible 25.7 under `scaling_efficiency` via the
+        // in-proc fallback): an in-process ratio is NEVER gate evidence
+        // — it goes under its own key with the gate field null — and a
+        // subprocess ratio outside the sanity envelope [0, 1.25]
+        // (>1 is already super-linear; 1.25 allows measurement noise) is
+        // likewise nulled with a machine-readable reason. The raw value
+        // always remains inspectable under its side key.
+        val mode = fields.getOrElse("scaling_mode", "\"subprocess\"")
+        if (mode.contains("inproc")) {
+          fields("scaling_ratio_inproc") = jn(eff, 3)
+          fields("scaling_efficiency") = "null"
+          fields("scaling_invalid_reason") =
+            "\"inproc_fallback_is_not_gate_evidence\""
+        } else if (eff.isNaN || eff < 0.0 || eff > 1.25) {
+          fields("scaling_efficiency_raw") = jn(eff, 3)
+          fields("scaling_efficiency") = "null"
+          fields("scaling_invalid_reason") =
+            "\"outside_sanity_envelope_0_to_1.25\""
+        } else {
+          fields("scaling_efficiency") = jn(eff, 3)
+          fields.remove("scaling_invalid_reason"): Unit
+          fields.remove("scaling_efficiency_raw"): Unit
+        }
         fields("scaling_rows_used") = n.toString
         fields("score_sec_low") = jn(bestLow, 2)
         fields("score_sec_high") = jn(bestHigh, 2)
@@ -857,34 +1010,62 @@ object Bench {
             math.ceil(1.7 * w * cleanWall(cpus, ctxRows, 1)).toLong): Unit
           passesPerChild = keepPasses
         }
-      } else if (remaining > 60) {
-        // Last resort: no subprocess pair landed at ANY ladder size
-        // (spawn unavailable or pathological weather) → one in-process
-        // pair at the smallest size, tagged (in-sbt absolute times run
-        // slower than a clean child JVM; the ratio is still informative).
-        fields("scaling_mode") = "\"inproc_fallback\""
-        val keepAqe = sys.props.get("graft.bench.aqe")
-        try {
-          System.setProperty("graft.bench.aqe", "false") // match the children
-          // rows+1 keeps the in-process pair in its own rows-group so
-          // the per-rows pairing can never ratio an in-process side
-          // against a leftover subprocess sample (different mode)
-          val inRows = ladder.last + 1
-          val t0 = elapsed
-          val hi = measureLevel(nHigh, inRows)
-          samples += Sample(nHigh, inRows, hi._1, hi._2, elapsed - t0, -1.0, loadAvg())
-          renderSamples(); flush()
-          val t1 = elapsed
-          val lo = measureLevel(nLow, inRows)
-          samples += Sample(nLow, inRows, lo._1, lo._2, elapsed - t1, -1.0, loadAvg())
-          renderSamples(); flush()
-        } catch { case _: Throwable => () }
-        finally {
-          keepAqe match {
-            case Some(v) => System.setProperty("graft.bench.aqe", v): Unit
-            case None => System.clearProperty("graft.bench.aqe"): Unit
+      } else {
+        // No full-ladder pair landed (spawn unavailable or pathological
+        // weather). TRUE last resort before any in-process measurement:
+        // ONE TINY subprocess pair at 100k rows, single pass — clean
+        // child walls ~36 s (low) / ~24 s (high), so even a weather-worn
+        // leftover budget usually holds a fresh-JVM pair, which is
+        // always better evidence than anything measured inside this
+        // churned JVM.
+        val tinyRows = 100000L
+        val keepPasses = passesPerChild
+        passesPerChild = 1
+        fields("scaling_mode") = "\"subprocess_tiny\""
+        val tinyOk =
+          remaining >= cap(nHigh, tinyRows) + cap(nLow, tinyRows) + pairSlack &&
+            pairAt(tinyRows, cap(nHigh, tinyRows), cap(nLow, tinyRows))
+        passesPerChild = keepPasses
+        if (!tinyOk && remaining > 60) {
+          // Absolute last resort: one in-process pair, SINGLE pass per
+          // level, each level budget-bounded to the remaining wall (the
+          // round-4 fallback ran uncapped and spent 366 s of 2-core wall
+          // after the budget was gone). renderSamples routes its ratio
+          // under `scaling_ratio_inproc` and NULLS the gate field — an
+          // in-sbt 2-thread sample taken after this JVM churned a
+          // 32-thread phase violates the bench's own fresh-JVM hygiene
+          // rule and must never wear the gate key (round 4's 25.7).
+          fields("scaling_mode") = "\"inproc_fallback\""
+          val keepAqe = sys.props.get("graft.bench.aqe")
+          try {
+            System.setProperty("graft.bench.aqe", "false") // match the children
+            // rows+1 keeps the in-process pair in its own rows-group so
+            // the per-rows pairing can never ratio an in-process side
+            // against a leftover subprocess sample (different mode)
+            val inRows = tinyRows + 1
+            val t0 = elapsed
+            measureLevelRuns(nHigh, inRows, 1, math.max(30.0, remaining - 30.0))
+              .headOption.foreach { case (fit, score) =>
+                samples += Sample(nHigh, inRows, fit, score, elapsed - t0, -1.0, loadAvg())
+              }
+            renderSamples(); flush()
+            if (remaining > 30) {
+              val t1 = elapsed
+              measureLevelRuns(nLow, inRows, 1, math.max(30.0, remaining - 10.0))
+                .headOption.foreach { case (fit, score) =>
+                  samples += Sample(nLow, inRows, fit, score, elapsed - t1, -1.0, loadAvg())
+                }
+              renderSamples(); flush()
+            }
+          } catch { case _: Throwable => () }
+          finally {
+            keepAqe match {
+              case Some(v) => System.setProperty("graft.bench.aqe", v): Unit
+              case None => System.clearProperty("graft.bench.aqe"): Unit
+            }
           }
         }
+        if (samples.isEmpty) fields("scaling_mode") = "\"none\""
       }
       fields("phase_completed") = "\"scaling\""
       flush()
@@ -900,9 +1081,11 @@ object Bench {
       flush()
     }
 
-    // --- Phases 3-4: per-query timings + dedup/ANN throughput ----------
-    if (runPhase("queries")) queryPhase()
+    // --- Phases 3-4: dedup/ANN throughput BEFORE the per-query sweep
+    // (the throughput rows are the churn-sensitive ones; see dedupPhase
+    // doc) -------------------------------------------------------------
     if (runPhase("dedup")) dedupPhase()
+    if (runPhase("queries")) queryPhase()
     flushFinal()
   }
 }

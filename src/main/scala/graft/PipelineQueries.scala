@@ -46,6 +46,22 @@ object PipelineCache {
       Scorer.withDecision(s, t)
         .select("image_id", "decision", "invalidity_score", "scrubbed_caption")
     }
+
+  /** Brute-force cosine top-5 over the DRIVER embeddings table for the
+    * fixed query set `vec_id < 3` — computed and cached ONCE per process
+    * and shared by the three ANN queries (qf_ann_brute,
+    * qf_ann_lsh_recall, qf_ann_ivf_driver each recomputed it before,
+    * ~1/3 of the ANN query-phase cost for zero semantic difference). */
+  def bruteDriverTop5(spark: SparkSession, dir: String): DataFrame =
+    cached(s"bruteDriverTop5/$dir") {
+      val emb = graft.engine.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val top = graft.ops.Similarity.bruteForceTopK(emb, queries, k = 5).cache()
+      top.count()
+      top
+    }
 }
 
 /** Queries over the synthetic image+caption pipeline — the engine's
@@ -167,10 +183,28 @@ object PipelineQueries {
   private[graft] def ivfDriverTopkFixturePath: String =
     new java.io.File("target/verify-fixtures/ann_ivf_driver_topk.parquet").getAbsolutePath
 
+  private def writeDecisionsFixture(s: SparkSession): Unit = writeOnce(decisionsFixturePath) {
+    PipelineCache.decisions(s, N).select("image_id", "decision")
+      .coalesce(1).write.mode("overwrite").parquet(decisionsFixturePath)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // M5–M8 + P3: full score → threshold → keep/drop pass
-    "qf_decisions" -> ((s, _) =>
-      PipelineCache.decisions(s, N).orderBy("image_id")),
+    // M5–M8 + P3: full score → threshold → keep/drop pass, emitted
+    // PER-ROW. Hash-checked via the fixture pattern (the qf_f1 shape
+    // applied row-wise): decisions are written as a fixture and the
+    // oracle re-emits each (image_id, decision) from it while
+    // independently recomputing scrubbed_caption by re-running the
+    // frozen scrub chain over the RAW caption fixture — full per-row
+    // decision-stream + scrub parity, not just aggregate F1.
+    // (invalidity_score is model state, not SQL-recomputable; it stays
+    // covered by qf_f1/threshold queries.)
+    "qf_decisions" -> ((s, _) => {
+      writeCaptionFixture(s)
+      writeDecisionsFixture(s)
+      PipelineCache.decisions(s, N)
+        .select("image_id", "decision", "scrubbed_caption")
+        .orderBy("image_id")
+    }),
 
     // Accuracy evidence: keep/drop confusion counts + F1 vs the seeded
     // oracle labels (BASELINE.md F1 ≥ 0.99 gate). Hash-checked: the
@@ -178,8 +212,7 @@ object PipelineQueries {
     // tp/fp/fn/f1 from them against the generator's expected labels.
     "qf_f1" -> ((s, _) => {
       writeExpectedFixture(s)
-      PipelineCache.decisions(s, N).select("image_id", "decision")
-        .coalesce(1).write.mode("overwrite").parquet(decisionsFixturePath)
+      writeDecisionsFixture(s)
       val dec = s.read.parquet(decisionsFixturePath)
       val exp = s.read.parquet(expectedFixturePath)
         .select(col("image_id"), col("expected_decision").as("expected"))
@@ -249,11 +282,21 @@ object PipelineQueries {
         .orderBy("pred_lang")
     }),
 
-    // M15: the 3-round oracle loop's metrics history (TPR/FNR/PD/ND/UD)
+    // M15: the 3-round oracle loop's metrics history (TPR/FNR/PD/ND/UD/
+    // TPGR). Hash-checked: each round writes a per-row AUDIT fixture
+    // (is_susp, is_known, status_old, status_new) and the DuckDB oracle
+    // recomputes every metric from it with the Evaluation.py:6-30
+    // formulas (same operation order). All double columns are rounded
+    // to 9dp on BOTH sides: TPGR goes through pow(), whose last bit is
+    // not guaranteed identical across libm implementations.
     "qf_metrics_loop" -> ((s, _) => {
       val res = PipelineLoop.cachedLoop(s)
       import s.implicits._
-      res.metrics.toDF().orderBy("run")
+      val df = res.metrics.toDF()
+      df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.DoubleType => f.name
+      }.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 9)))
+        .orderBy("run")
     }),
 
     // Dedup: MinHash+LSH near-dup pairs on the synthetic captions
@@ -290,15 +333,21 @@ object PipelineQueries {
 
     // Dedup: embedding-cosine near-dup via hyperplane-LSH buckets.
     // Soundness-oracle-checked: DuckDB recomputes the exact cosine from
-    // the raw vectors for every emitted pair and re-applies >= 0.97
-    // (cos rounded to 4dp on both sides, the qf_ann_brute convention).
+    // the raw vectors for every emitted pair. The THRESHOLD decision is
+    // made on the 4dp-ROUNDED cosine on BOTH engines (the operator runs
+    // with a slightly relaxed internal cutoff, then this query filters
+    // round(cos,4) >= 0.97; DuckDB applies ROUND(cos,4) >= 0.97): a
+    // float/double-boundary pair can no longer pass the threshold on one
+    // engine and fail on the other — both sides decide on values that
+    // agree to ~1e-15 rounded to the same 4dp grid.
     "qf_dedup_embedding" -> ((s, _) => {
       val emb = graft.ops.Similarity.synthEmbeddings(s, 2000L)
       writeOnce(embFixturePath) {
         emb.coalesce(1).write.mode("overwrite").parquet(embFixturePath)
       }
-      graft.ops.Similarity.cosineNearDupPairs(emb, dim = 32)
+      graft.ops.Similarity.cosineNearDupPairs(emb, dim = 32, threshold = 0.96995)
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+        .filter(col("cos") >= 0.97)
         .coalesce(1).write.mode("overwrite").parquet(embPairsFixturePath)
       s.read.parquet(embPairsFixturePath).orderBy("id1", "id2")
     }),
@@ -322,15 +371,11 @@ object PipelineQueries {
     // table (hash-checked: plain SQL in DuckDB via list_dot_product;
     // cos rounded to 4dp on both sides — double math agrees to ~1e-15,
     // rounding absorbs the last-bit accumulation-order difference)
-    "qf_ann_brute" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val queries = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      graft.ops.Similarity.bruteForceTopK(emb, queries, k = 5)
+    "qf_ann_brute" -> ((s, d) =>
+      PipelineCache.bruteDriverTop5(s, d)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("cos"), 4).as("cos"))
-        .orderBy("query_id", "rank")
-    }),
+        .orderBy("query_id", "rank")),
 
     // Similarity: IVF ANN (second scale path — KMeans coarse quantizer,
     // native nearest-centroid assign, nprobe-list search) recall vs
@@ -370,8 +415,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 5)
-        .select("query_id", "vec_id")
+      val brute = PipelineCache.bruteDriverTop5(s, d).select("query_id", "vec_id")
       val lsh = graft.ops.Similarity.lshTopK(emb, queries, 5, dim = 64)
         .select("query_id", "vec_id")
       recallVsBrute(s, brute, lsh, Seq(0L, 1L, 2L), lshTopkFixturePath)
@@ -388,8 +432,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 5)
-        .select("query_id", "vec_id")
+      val brute = PipelineCache.bruteDriverTop5(s, d).select("query_id", "vec_id")
       val ivf = graft.ops.Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
         .select("query_id", "vec_id")
       recallVsBrute(s, brute, ivf, Seq(0L, 1L, 2L), ivfDriverTopkFixturePath)
@@ -473,6 +516,16 @@ object PipelineQueries {
     })
   )
 
+  /** The frozen scrub chain as nested DuckDB REGEXP_REPLACE calls over
+    * `captionExpr` (shared by the qf_scrub_equality and qf_decisions
+    * oracles). */
+  private def scrubChainSql(captionExpr: String): String =
+    graft.scrub.Scrub.rules.foldLeft(captionExpr) {
+      case (acc, (_, pat, rep)) =>
+        val p = pat.replace("'", "''")
+        s"REGEXP_REPLACE($acc, '$p', '$rep', 'g')"
+    }
+
   /** DuckDB oracles for the SQL-expressible pipeline queries. The phash
     * oracles read the parquet fixture [[writePhashFixture]] emits during
     * Verify (same absolute path, computed at dump time). */
@@ -554,14 +607,66 @@ object PipelineQueries {
            |FROM read_parquet('$lfx2')
            |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
       },
+      // Per-row decision stream + independently recomputed scrub: the
+      // oracle re-emits each written (image_id, decision) and re-runs
+      // the frozen scrub chain over the RAW caption per row — any
+      // divergence between the live query and its fixture, or between
+      // Spark's and DuckDB's regex chains, fails the hash compare.
+      "qf_decisions" -> {
+        val dfx = decisionsFixturePath.replace("'", "''") + "/*.parquet"
+        s"""SELECT d.image_id, d.decision,
+           |  ${scrubChainSql("c.caption")} AS scrubbed_caption
+           |FROM read_parquet('$dfx') d
+           |JOIN read_parquet('$cfx') c ON c.image_id = d.image_id
+           |ORDER BY d.image_id""".stripMargin
+      },
+      // Recompute the full per-round metrics history from the loop's
+      // per-row audit fixtures with the Evaluation.py:6-30 formulas
+      // (Metrics.scala op-order parity; everything rounded to 9dp on
+      // both sides — TPGR goes through pow(), see the query doc).
+      "qf_metrics_loop" -> {
+        val afx = new java.io.File(PipelineLoop.loopDir + "/audit")
+          .getAbsolutePath.replace("'", "''") + "/*/*.parquet"
+        s"""WITH c AS (
+           |  SELECT run,
+           |    CAST(SUM(CASE WHEN is_susp THEN 1 ELSE 0 END) AS BIGINT) AS faulty,
+           |    CAST(SUM(CASE WHEN is_susp AND is_known THEN 1 ELSE 0 END) AS BIGINT) AS einter,
+           |    CAST(SUM(CASE WHEN status_new LIKE 'actualFault%' THEN 1 ELSE 0 END) AS BIGINT) AS afnew,
+           |    CAST(SUM(CASE WHEN status_old LIKE 'actualFault%' THEN 1 ELSE 0 END) AS BIGINT) AS afold,
+           |    CAST(SUM(CASE WHEN status_old LIKE 'actualFault%'
+           |             AND status_new NOT LIKE 'actualFault%' THEN 1 ELSE 0 END) AS BIGINT) AS afoldminusnew,
+           |    CAST(SUM(CASE WHEN status_new LIKE 'actualFault%'
+           |             AND NOT is_known THEN 1 ELSE 0 END) AS BIGINT) AS afminuse,
+           |    CAST(SUM(CASE WHEN is_known THEN 1 ELSE 0 END) AS BIGINT) AS ecount
+           |  FROM read_parquet('$afx') GROUP BY run),
+           |m AS (
+           |  SELECT run,
+           |    CASE WHEN ecount > 0 THEN CAST(einter AS DOUBLE) / ecount ELSE 0.0 END AS pd,
+           |    CASE WHEN faulty > 0 THEN CAST(faulty - einter AS DOUBLE) / faulty ELSE 0.0 END AS sd,
+           |    CASE WHEN ecount > 0 THEN CAST(ecount - einter AS DOUBLE) / ecount ELSE 1.0 END AS ud,
+           |    CASE WHEN faulty > 0 THEN CAST(afminuse AS DOUBLE) / faulty ELSE 0.0 END AS nd,
+           |    CASE WHEN afnew > 0 AND faulty > 0
+           |         THEN CAST(afnew AS DOUBLE) / faulty ELSE 0.0 END AS tpr,
+           |    CASE WHEN afold > 0 THEN CAST(afoldminusnew AS DOUBLE) / afold ELSE 0.0 END AS fnr
+           |  FROM c),
+           |t AS (SELECT m.*, FIRST_VALUE(tpr) OVER (ORDER BY run) AS tpr1 FROM m)
+           |SELECT run,
+           |  ROUND(pd, 9) AS "previouslyDetected",
+           |  ROUND(sd, 9) AS "suspiciousDetected",
+           |  ROUND(ud, 9) AS "undetected",
+           |  ROUND(nd, 9) AS "newlyDetected",
+           |  ROUND(tpr, 9) AS "truePositiveRate",
+           |  ROUND(1.0 - tpr, 9) AS "falsePositiveRate",
+           |  ROUND(1.0 - fnr, 9) AS "trueNegativeRate",
+           |  ROUND(fnr, 9) AS "falseNegativeRate",
+           |  ROUND(CASE WHEN tpr1 <= 0 THEN 0.0
+           |        ELSE POWER(tpr / tpr1, 1.0 / run) - 1.0 END, 9) AS tpgr
+           |FROM t ORDER BY run""".stripMargin
+      },
       // Re-run the frozen scrub chain over the raw captions in SQL and
       // compare with the generator's expected scrubs, per fault class.
       "qf_scrub_equality" -> {
-        val chain = graft.scrub.Scrub.rules.foldLeft("c.caption") {
-          case (acc, (_, pat, rep)) =>
-            val p = pat.replace("'", "''")
-            s"REGEXP_REPLACE($acc, '$p', '$rep', 'g')"
-        }
+        val chain = scrubChainSql("c.caption")
         val xfx = expectedFixturePath.replace("'", "''") + "/*.parquet"
         s"""SELECT x.fault_class,
            |  CAST(COUNT(*) AS BIGINT) AS n,
@@ -613,20 +718,22 @@ object PipelineQueries {
            |WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.8
            |ORDER BY id1, id2""".stripMargin,
       // SOUNDNESS oracle: recompute exact cosine from the raw vectors
-      // for each emitted pair, re-apply >= 0.97, round to 4dp.
+      // for each emitted pair; the threshold is applied to the
+      // 4dp-ROUNDED cosine, mirroring the Spark side exactly (see the
+      // query doc — the boundary decision is made on identical values).
       "qf_dedup_embedding" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            |           FROM read_parquet('$efx')),
            |pr AS (SELECT id1, id2 FROM read_parquet('$epx')),
            |c AS (
            |  SELECT p.id1, p.id2,
-           |    list_dot_product(a.v, b.v)
+           |    ROUND(list_dot_product(a.v, b.v)
            |      / (sqrt(list_dot_product(a.v, a.v))
-           |         * sqrt(list_dot_product(b.v, b.v))) AS cos
+           |         * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
            |  FROM pr p
            |  JOIN e a ON a.vec_id = p.id1
            |  JOIN e b ON b.vec_id = p.id2)
-           |SELECT id1, id2, ROUND(cos, 4) AS cos
+           |SELECT id1, id2, cos
            |FROM c WHERE cos >= 0.97 ORDER BY id1, id2""".stripMargin,
       // Recomputes Dedup.ngramJaccardPairs from raw captions: 3-shingles
       // over whitespace-split lower(trim(caption)); candidates = pairs
@@ -714,16 +821,21 @@ object PipelineQueries {
 /** Memoized full-loop run for Verify (deletes + recreates its own
   * checkpoint dir so each Verify invocation runs all rounds fresh). */
 object PipelineLoop {
+  private[graft] val loopDir = "target/graft-verify-loop"
   @volatile private var res: ValidationRun.RunResult = _
   def cachedLoop(spark: SparkSession): ValidationRun.RunResult = synchronized {
     if (res == null) {
-      val dir = "target/graft-verify-loop"
-      deleteRecursively(new java.io.File(dir))
+      deleteRecursively(new java.io.File(loopDir))
       res = ValidationRun.run(spark,
-        ValidationRun.RunConfig(n = 1000L, rounds = 3, outDir = dir))
+        ValidationRun.RunConfig(n = 1000L, rounds = 3, outDir = loopDir))
     }
     res
   }
+
+  /** Drop the memo so the next cachedLoop re-runs the full loop — the
+    * bench's floor-of-2 second sweep must time real work, not a memo
+    * hit. */
+  def reset(): Unit = synchronized { res = null }
 
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

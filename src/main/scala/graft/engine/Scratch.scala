@@ -45,10 +45,14 @@ object Scratch {
     * concurrent live JVMs: `p<pid>-*` dirs are only removed when that
     * pid no longer exists; unrecognized names are left alone except the
     * legacy shared-layout `blockmgr-*`/`spark-*` dirs, which no current
-    * code writes and which are therefore always dead weight. */
+    * code writes — but which a still-running JVM built from an OLDER
+    * checkout could be actively using, so those are only reaped once
+    * their mtime is stale (>10 min; live shuffle scratch is rewritten
+    * continuously, while a true orphan's mtime froze at the kill). */
   def cleanupOrphans(): Long = {
     val base = new java.io.File(root)
     val entries = Option(base.listFiles()).getOrElse(Array.empty)
+    val staleMs = System.currentTimeMillis() - 10 * 60 * 1000L
     var freed = 0L
     entries.foreach { f =>
       val name = f.getName
@@ -56,7 +60,8 @@ object Scratch {
         case s if s.startsWith("p") && s.contains("-") =>
           s.drop(1).takeWhile(_.isDigit).toLongOption
             .exists(pid => !ProcessHandle.of(pid).isPresent)
-        case s => s.startsWith("blockmgr-") || s.startsWith("spark-")
+        case s => (s.startsWith("blockmgr-") || s.startsWith("spark-")) &&
+          f.lastModified() < staleMs
       }
       if (ownerDead) { freed += sizeOf(f); deleteRecursively(f) }
     }

@@ -44,6 +44,29 @@ object ValidationRun {
   private def statusPath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/statuses/round=$r"
   private def metricsPath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/metrics/round=$r"
   private def lineagePath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/lineage/round=$r"
+  private def auditPath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/audit/round=$r"
+
+  /** Bounded wait on an Observation: the metrics must arrive with the
+    * write action that carries them — if they ever fail to propagate,
+    * fail fast instead of hanging the loop forever on `obs.get`. */
+  private def observed(obs: org.apache.spark.sql.Observation,
+      timeoutSec: Int = 300): Map[String, Any] = {
+    import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+    val ex = Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-observation-wait"); t.setDaemon(true); t
+    }
+    try {
+      val f = ex.submit(new java.util.concurrent.Callable[Map[String, Any]] {
+        def call(): Map[String, Any] = obs.get
+      })
+      try f.get(timeoutSec.toLong, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException => throw new IllegalStateException(
+          s"observation ${obs.name} not materialized within ${timeoutSec}s " +
+            "of its carrying write action")
+      }
+    } finally { ex.shutdownNow(): Unit }
+  }
 
   def run(spark: SparkSession, cfg: RunConfig): RunResult = {
     import spark.implicits._
@@ -150,7 +173,7 @@ object ValidationRun {
             .otherwise(0L)).as("afMinusE"))
           .select(col("image_id"), col("status_new").as("status")),
         statusPath(cfg, r))
-      val c = obs.get
+      val c = observed(obs)
       val faultyRows = c("faulty").asInstanceOf[Long]
       val eInterA = c("eInterA").asInstanceOf[Long]
       val afNewN = c("afNew").asInstanceOf[Long]
@@ -176,10 +199,19 @@ object ValidationRun {
         tpgr = tpgr)
       metricsHist += m
 
-      // Remaining checkpoints: metrics row + per-partition lineage, both
-      // from the already-cached flagged frame (the status write above
-      // populated the cache).
+      // Remaining checkpoints: metrics row + per-partition lineage +
+      // the per-round AUDIT fixture, all from the already-cached flagged
+      // frame (the status write above populated the cache). The audit
+      // fixture carries exactly the per-row facts the metric formulas
+      // consume — (is_susp, is_known, status_old, status_new) — so an
+      // independent engine (the DuckDB oracle) can recompute every
+      // TPR/FNR/PD/ND/UD/TPGR value from it.
       TableIO.createOrReplace(Seq(m).toDF(), metricsPath(cfg, r))
+      TableIO.createOrReplace(
+        flagged.select(col("image_id"), col("is_susp"), col("is_known"),
+          col("status").as("status_old"), col("status_new"),
+          lit(r).as("run")),
+        auditPath(cfg, r))
       val lineage = flagged
         .withColumn("pid", spark_partition_id())
         .groupBy(col("pid").as("partition_id"))
@@ -210,10 +242,20 @@ object ValidationRun {
 
     // Final decisions from the final-state model (refit on the last
     // checkpointed statuses — deterministic for fresh AND resumed runs).
-    val scoredFinal = scoreRound(statuses)
+    // The threshold refit runs while the last round's flagged frame is
+    // still cached (it feeds the statuses projection); the returned
+    // decisions PLAN then reads statuses from the checkpoint instead —
+    // byte-identical content — so the cache can be released here rather
+    // than holding executor memory for as long as callers keep
+    // re-evaluating the returned frame.
     val tFinal = Thresholds.discover(
-      scoredFinal, "invalidity_score", "status", knownCount, n)._1
-    val decisions = Scorer.withDecision(scoredFinal, tFinal)
+      scoreRound(statuses), "invalidity_score", "status", knownCount, n)._1
+    val finalStatuses =
+      if (cfg.rounds > 0)
+        TableIO.read(spark, statusPath(cfg, cfg.rounds)).select("image_id", "status")
+      else statuses
+    prevFlagged.foreach(_.unpersist())
+    val decisions = Scorer.withDecision(scoreRound(finalStatuses), tFinal)
       .select("image_id", "decision", "invalidity_score", "scores",
         "scrubbed_caption", "status")
     RunResult(decisions, metricsHist.toSeq, thresholds.toSeq,

@@ -16,9 +16,13 @@ class ScratchSpec extends AnyFunSuite {
     val dead = new java.io.File(root, "p999999999-spec")
     dead.mkdirs()
     new java.io.File(dead, "leak.bin").createNewFile()
-    // legacy shared-layout names are always orphans under the new layout
+    // legacy shared-layout names are orphans only once STALE (mtime
+    // gate: a live older-checkout JVM's shuffle scratch must survive)
     val legacy = new java.io.File(root, "blockmgr-deadbeef-spec")
     legacy.mkdirs()
+    legacy.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L): Unit
+    val legacyFresh = new java.io.File(root, "blockmgr-fresh-spec")
+    legacyFresh.mkdirs()
     // unrecognized names must be left alone
     val foreign = new java.io.File(root, "something-else")
     foreign.mkdirs()
@@ -26,10 +30,11 @@ class ScratchSpec extends AnyFunSuite {
       Scratch.cleanupOrphans(): Unit
       assert(live.exists(), "live-pid dir was reaped")
       assert(!dead.exists(), "dead-pid dir survived")
-      assert(!legacy.exists(), "legacy blockmgr dir survived")
+      assert(!legacy.exists(), "stale legacy blockmgr dir survived")
+      assert(legacyFresh.exists(), "fresh legacy blockmgr dir was reaped")
       assert(foreign.exists(), "unrecognized dir was reaped")
     } finally {
-      Seq(live, dead, legacy, foreign).foreach(Scratch.deleteRecursively)
+      Seq(live, dead, legacy, legacyFresh, foreign).foreach(Scratch.deleteRecursively)
     }
   }
 
