@@ -151,6 +151,13 @@ object PipelineQueries {
     new java.io.File("target/verify-fixtures/decisions_out.parquet").getAbsolutePath
   private[graft] def langidFixturePath: String =
     new java.io.File("target/verify-fixtures/langid_out.parquet").getAbsolutePath
+  /** Per-row (ts, decision) audit stream from qf_stream_window's scored
+    * micro-batches — lets DuckDB recompute the tumbling-window counts
+    * with plain epoch arithmetic (the window-assignment + aggregation
+    * half of the streaming query; decision parity with batch is
+    * spec-asserted separately in StreamingSpec). */
+  private[graft] def streamRowsFixturePath: String =
+    new java.io.File("target/verify-fixtures/stream_rows.parquet").getAbsolutePath
 
   private def writeExpectedFixture(s: SparkSession): Unit = writeOnce(expectedFixturePath) {
     ImageGen.expected(s, PipelineCache.genCfg(N))
@@ -480,7 +487,16 @@ object PipelineQueries {
     // §2.7: Structured Streaming as a driver-contract surface — a real
     // readStream micro-batch over a parquet shard running the SAME
     // scoring expressions (score parity with batch is spec-asserted),
-    // watermarked tumbling-window drop-rate audit rows out
+    // watermarked tumbling-window drop-rate audit rows out.
+    // Hash-checked via the fixture pattern: a second streaming sink
+    // appends every scored row (ts, decision) to a parquet fixture and
+    // the DuckDB oracle recomputes the tumbling-window counts from it
+    // with plain epoch arithmetic — the window assignment and
+    // aggregation halves are verified by an independent engine; the
+    // decisions themselves are the one-sided (spec-tested) half, same
+    // honesty label as qf_langid_counts. window_start is emitted as
+    // epoch SECONDS (long) on both sides: comparing raw timestamps
+    // would re-test the engines' timestamp codecs, not the windows.
     "qf_stream_window" -> ((s, _) => {
       // unique per-invocation scratch dir + sink name: two concurrent
       // Verify runs must not collide on a fixed path/temp view
@@ -494,14 +510,25 @@ object PipelineQueries {
       val schema = s.read.parquet(dir).schema
       val models = PipelineCache.models(s, 500L)
       val stream = s.readStream.schema(schema).parquet(dir)
-      val agg = graft.streaming.StreamScore.windowedDropRate(
-        graft.streaming.StreamScore.scoreStream(stream, models, 0.5), "ts")
+      val scored = graft.streaming.StreamScore.scoreStream(stream, models, 0.5)
+      // per-row audit sink → the oracle's window-recompute fixture
+      PipelineLoop.deleteRecursively(new java.io.File(streamRowsFixturePath))
+      val qRows = scored.select(col("image_id"), col("ts"), col("decision"))
+        .writeStream.format("parquet")
+        .option("path", streamRowsFixturePath)
+        .option("checkpointLocation", s"$dir-rows-ckpt")
+        .outputMode("append").start()
+      qRows.processAllAvailable(); qRows.stop()
+      val agg = graft.streaming.StreamScore.windowedDropRate(scored, "ts")
       val sink = s"qf_stream_window_sink_$runTag"
       s.catalog.dropTempView(sink)
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       q.processAllAvailable(); q.stop()
-      s.table(sink).orderBy("window_start")
+      s.table(sink)
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("rows_in"), col("rows_dropped"))
+        .orderBy("window_start")
     }),
 
     // M9–M13: cluster the faulty rows + per-cluster decision-tree rules
@@ -662,6 +689,19 @@ object PipelineQueries {
            |  ROUND(CASE WHEN tpr1 <= 0 THEN 0.0
            |        ELSE POWER(tpr / tpr1, 1.0 / run) - 1.0 END, 9) AS tpgr
            |FROM t ORDER BY run""".stripMargin
+      },
+      // Recompute the streaming query's tumbling 1-minute windows from
+      // the per-row audit fixture with plain epoch arithmetic (window
+      // start = floor(epoch/60)*60; complete-mode output carries every
+      // row, so no watermark-drop asymmetry exists between the sides).
+      "qf_stream_window" -> {
+        val sfx = streamRowsFixturePath.replace("'", "''") + "/*.parquet"
+        s"""SELECT CAST(FLOOR(EPOCH(ts) / 60) * 60 AS BIGINT) AS window_start,
+           |  CAST(COUNT(*) AS BIGINT) AS rows_in,
+           |  CAST(SUM(CASE WHEN decision = 'drop' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS rows_dropped
+           |FROM read_parquet('$sfx')
+           |GROUP BY 1 ORDER BY 1""".stripMargin
       },
       // Re-run the frozen scrub chain over the raw captions in SQL and
       // compare with the generator's expected scrubs, per fault class.
