@@ -76,4 +76,82 @@ object Banding {
       .toDF("id1", "id2")
       .distinct()
   }
+
+  /** Cosine-scored near-dup pairs emitted straight FROM the run-scan:
+    * `keyed` must have columns (id: string, key: long, v: array<float>);
+    * every capped same-key run scores its pairs in place and only pairs
+    * with cos ≥ threshold leave the operator — candidate pairs never
+    * cross a shuffle.
+    *
+    * Why this exists next to [[candidatePairs]]: on clustered or skewed
+    * corpora (the realistic embedding regime) the hyperplane buckets sit
+    * AT the cap, so slim-candidates-then-payload-join materializes up to
+    * tables·buckets·maxBucket²/2 candidate rows through a shuffle join —
+    * O(candidates) shuffle state, which ran a 100k-row clustered corpus
+    * out of execution memory. Scoring inside the scan is O(input) shuffle
+    * (the vector rides the banding exchange once per table) + O(true
+    * pairs) output: the [[graft.discovery.PhashDup.duplicatePairs]]
+    * pattern with the verify step fused in.
+    *
+    * Numeric parity: mirrors [[graft.ops.Similarity.cosine]] exactly —
+    * per-element float→double casts, left-to-right accumulation, and the
+    * zero-norm guard (cos := −1, never emitted) — so results are
+    * bit-identical to the former candidate-join shape. */
+  def cosinePairs(keyed: DataFrame, maxBucket: Int, threshold: Double,
+      truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("id"))
+      .select(col("key"), col("id"), col("v"))
+      .as[(Long, String, Array[Float])]
+      .mapPartitions { it =>
+        new Iterator[(String, String, Double)] {
+          private val out =
+            scala.collection.mutable.Queue.empty[(String, String, Double)]
+          private val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+          private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          private val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
+          private var curKey: Long = Long.MinValue
+          private var haveKey = false
+          private def normOf(v: Array[Float]): Double = {
+            var s = 0.0; var i = 0
+            while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+            math.sqrt(s)
+          }
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (key, id, v) = it.next()
+              if (!haveKey || key != curKey) {
+                ids.clear(); vecs.clear(); norms.clear(); curKey = key; haveKey = true
+              }
+              if (ids.length < maxBucket) {
+                val nv = normOf(v)
+                var i = 0
+                while (i < ids.length) {
+                  // sorted within the run: ids(i) <= id; equal ids can
+                  // only come from duplicate input rows — skip self-pairs
+                  if (ids(i) != id) {
+                    val ov = vecs(i)
+                    var dot = 0.0; var d = 0
+                    val n = math.min(ov.length, v.length)
+                    while (d < n) { dot += ov(d).toDouble * v(d).toDouble; d += 1 }
+                    val denom = norms(i) * nv
+                    val cos = if (denom > 0.0) dot / denom else -1.0
+                    if (cos >= threshold) out += ((ids(i), id, cos))
+                  }
+                  i += 1
+                }
+                ids += id; vecs += v; norms += nv
+              } else truncated.foreach(_.add(1L))
+            }
+          }
+          def hasNext: Boolean = { advance(); out.nonEmpty }
+          def next(): (String, String, Double) = { advance(); out.dequeue() }
+        }
+      }
+      .toDF("id1", "id2", "cos")
+      .distinct()
+  }
 }

@@ -276,26 +276,35 @@ object Similarity {
         math.max(8, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
           / math.log(2.0)).toInt)
       }
-    // one 64-bit key per (table, signature); candidate generation and the
-    // degenerate-bucket cap ride the shared run-scan (Banding)
-    val slim = (0 until tables).map { t =>
+    // One 64-bit key per (table, signature); the VECTOR rides the banding
+    // exchange (once per table) and every capped bucket is scored inside
+    // the shared run-scan (Banding.cosinePairs) — candidate pairs never
+    // cross a shuffle. The former slim-candidates → payload-join shape
+    // was O(candidates) shuffle state, and on clustered corpora (the
+    // realistic regime: buckets sit at the cap) that exhausted execution
+    // memory at 100k rows; this shape is O(input) shuffle + O(true
+    // pairs) output.
+    val keyed = (0 until tables).map { t =>
       val planes = hyperplanes(dim, planesPerTable, seed = 7L + 1000L * t)
-      emb.select(col("id"), xxhash64(lit(t), sigCol(col("v"), planes)).as("key"))
+      emb.select(col("id"),
+        xxhash64(lit(t), sigCol(col("v"), planes)).as("key"), col("v"))
     }.reduce(_ unionByName _)
-    val cands = graft.ops.Banding.candidatePairs(slim, maxBucket)
-    // Banding keyed (and pair-ordered) on STRING ids; the payload join
-    // carries each side's ORIGINAL vec_id back so the output preserves
-    // the caller's id type and ordering (a cast('long') here turned
-    // non-numeric ids into silent NULLs), with least/greatest on the
-    // original values restoring canonical id1 < id2.
-    val a = emb.select(col("id").as("id1"), col("__orig").as("__o1"), col("v").as("__v1"))
-    val b = emb.select(col("id").as("id2"), col("__orig").as("__o2"), col("v").as("__v2"))
-    cands.join(a, Seq("id1")).join(b, Seq("id2"))
+    val pairs = graft.ops.Banding.cosinePairs(keyed, maxBucket, threshold)
+    // Banding keyed (and pair-ordered) on STRING ids; the id-restore
+    // joins carry each side's ORIGINAL vec_id back so the output
+    // preserves the caller's id type and ordering (a cast('long') here
+    // turned non-numeric ids into silent NULLs), with least/greatest on
+    // the original values restoring canonical id1 < id2. Only TRUE
+    // near-dup pairs reach these joins, so the pairs side is
+    // output-sized (AQE broadcasts it at runtime — no forced hint).
+    val ids = emb.select(col("id"), col("__orig"))
+    pairs
+      .join(ids.select(col("id").as("id1"), col("__orig").as("__o1")), Seq("id1"))
+      .join(ids.select(col("id").as("id2"), col("__orig").as("__o2")), Seq("id2"))
       .select(
         least(col("__o1"), col("__o2")).as("id1"),
         greatest(col("__o1"), col("__o2")).as("id2"),
-        cosine(col("__v1"), col("__v2")).as("cos"))
-      .filter(col("cos") >= threshold)
+        col("cos"))
   }
 
   /** Deterministic synthetic embeddings with seeded near-duplicate pairs
