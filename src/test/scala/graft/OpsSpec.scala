@@ -257,6 +257,47 @@ class OpsSpec extends AnyFunSuite {
     assert(dDiff >= 12, s"unrelated images too close: $dDiff bits")
   }
 
+  test("run-scan cosine pairs are bit-identical to the candidates-join shape") {
+    // The regime that OOM'd the join shape at 100k rows: clustered
+    // vectors push every LSH bucket toward the cap. At 3000 rows the old
+    // shape still fits in memory, so rebuild it inline (candidatePairs →
+    // payload join → Catalyst cosine) and require EXACT equality — same
+    // pair set, same doubles — against Banding.cosinePairs as wired into
+    // cosineNearDupPairs. This is the refactor's parity contract: the
+    // scan mirrors Similarity.cosine's float→double casts and
+    // left-to-right accumulation, so not even the last bit may move.
+    val emb = Similarity.synthEmbeddings(spark, 3000L).cache()
+    val threshold = 0.97
+    val fused = Similarity.cosineNearDupPairs(emb, dim = 32, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // old shape, reconstructed with the SAME tables/planes/cap defaults
+    val e = emb.select(col("vec_id").cast("string").as("id"),
+      col("vec_id").as("__orig"), col("embedding").as("v"))
+    val n = e.count()
+    val planesPerTable = math.max(8,
+      math.ceil(math.log(math.max(1.0, n.toDouble / 256)) / math.log(2.0)).toInt)
+    val slim = (0 until 2).map { t =>
+      val planes = Similarity.hyperplanes(32, planesPerTable, seed = 7L + 1000L * t)
+      e.select(col("id"), xxhash64(lit(t),
+        coalesce(org.apache.spark.sql.graft.Exprs.hyperplaneSig(col("v"), planes),
+          lit(0))).as("key"))
+    }.reduce(_ unionByName _)
+    val cands = graft.ops.Banding.candidatePairs(slim, 1024)
+    val a = e.select(col("id").as("id1"), col("__orig").as("__o1"), col("v").as("__v1"))
+    val b = e.select(col("id").as("id2"), col("__orig").as("__o2"), col("v").as("__v2"))
+    val joined = cands.join(a, Seq("id1")).join(b, Seq("id2"))
+      .select(least(col("__o1"), col("__o2")).as("id1"),
+        greatest(col("__o1"), col("__o2")).as("id2"),
+        Similarity.cosine(col("__v1"), col("__v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    emb.unpersist()
+    assert(fused == joined,
+      s"fused=${fused.size} join=${joined.size}; " +
+        s"onlyFused=${(fused -- joined).take(3)} onlyJoin=${(joined -- fused).take(3)}")
+    assert(fused.nonEmpty, "parity fixture produced zero near-dup pairs")
+  }
+
   test("banding candidate generation uses exactly one shuffle plus the pair distinct") {
     val keyed = (0 until 100).map(i => (f"d$i%03d", (i % 10).toLong))
       .toDF("id", "key")
