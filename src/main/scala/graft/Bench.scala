@@ -204,18 +204,44 @@ object Bench {
     // would confound the scaling ratio with different shuffle shapes.
     // AQE still coalesces small partitions identically at every level.
     val spark = session(cpus, shufflePartitions = 64)
-    pipelineOnce(spark, math.min(benchImages / 10 + 1, 10000L), cpus) // JIT warmup
-    val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    var lastCost = 0.0
-    var p = 0
-    while (p < math.max(1, passes) &&
-        (p == 0 || budgetSec <= 0 || elapsed + lastCost * 1.15 < budgetSec)) {
-      val t = elapsed
-      runs += pipelineOnce(spark, benchImages, cpus)
-      lastCost = elapsed - t
-      p += 1
+    // The budget is a HARD wall, not just a don't-start-another-pass
+    // heuristic: with passes=1 the loop condition alone never bounds the
+    // single pass (round 4's fallback spent 366 s of 2-core wall after
+    // the budget was gone). A daemon timer cancels all running jobs once
+    // the budget elapses — and keeps cancelling, so a pass started just
+    // under the wire can't run long either; a cancelled pass throws out
+    // of pipelineOnce and ends the loop with whatever was banked.
+    val watchdog = Option.when(budgetSec > 0) {
+      val t = new java.util.Timer("graft-bench-budget", true)
+      t.scheduleAtFixedRate(new java.util.TimerTask {
+        def run(): Unit =
+          try spark.sparkContext.cancelAllJobs()
+          catch { case _: Throwable => () }
+      }, math.max(1L, (budgetSec * 1000).toLong), 5000L)
+      t
     }
-    spark.stop()
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    try {
+      pipelineOnce(spark, math.min(benchImages / 10 + 1, 10000L), cpus) // JIT warmup
+      var lastCost = 0.0
+      var p = 0
+      while (p < math.max(1, passes) &&
+          (p == 0 || budgetSec <= 0 || elapsed + lastCost * 1.15 < budgetSec)) {
+        val t = elapsed
+        runs += pipelineOnce(spark, benchImages, cpus)
+        lastCost = elapsed - t
+        p += 1
+      }
+    } catch {
+      // with a budget set, a throw is (almost always) the watchdog's
+      // cancellation — return what completed; an over-budget partial
+      // pass is never a sample. Unbudgeted callers keep fail-fast
+      // semantics: a genuine failure must not silently shrink the runs.
+      case e: Throwable => if (budgetSec <= 0) throw e
+    } finally {
+      watchdog.foreach(_.cancel())
+      spark.stop()
+    }
     runs.toSeq
   }
 
@@ -591,10 +617,21 @@ object Bench {
       val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val pass1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val failed1 = scala.collection.mutable.Set.empty[String]
+      val failed2 = scala.collection.mutable.Set.empty[String]
       val wsnaps = scala.collection.mutable.ArrayBuffer.empty[String]
       def renderQueries(done: Boolean): Unit = {
+        // the floor only mins over passes where the query SUCCEEDED — a
+        // fast failure must not masquerade as a clean-machine time (if
+        // every pass failed, the pass-1 duration is reported and the
+        // errors map flags the name)
+        def floorOf(k: String, v1: Double): Double = {
+          val c1 = if (failed1.contains(k)) Nil else Seq(v1)
+          val c2 = pass2.get(k).filterNot(_ => failed2.contains(k)).toSeq
+          (c1 ++ c2).minOption.getOrElse(v1)
+        }
         fields("queries") = pass1.map { case (k, v) =>
-          "\"" + k + "\":" + jn(math.min(v, pass2.getOrElse(k, v)), 2)
+          "\"" + k + "\":" + jn(floorOf(k, v), 2)
         }.mkString("{", ",", "}")
         fields("queries_pass1") = pass1.map { case (k, v) =>
           "\"" + k + "\":" + jn(v, 2) }.mkString("{", ",", "}")
@@ -612,12 +649,13 @@ object Bench {
         // alongside
         fields("value") = jn(pass1.values.sum, 2)
         fields("value_floor") = jn(pass1.map { case (k, v) =>
-          math.min(v, pass2.getOrElse(k, v)) }.sum, 2)
+          floorOf(k, v) }.sum, 2)
         if (done) fields("phase_completed") = "\"queries\""
         flush()
       }
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       def sweep(into: scala.collection.mutable.LinkedHashMap[String, Double],
+          failedThisPass: scala.collection.mutable.Set[String],
           budgetSec: Double): Unit = {
         val t0 = elapsed
         var i = 0
@@ -625,8 +663,10 @@ object Bench {
           if (budgetSec <= 0 || elapsed - t0 < budgetSec) {
             val t = System.nanoTime()
             try { fn(spark, sfDir).count() } catch {
-              case e: Throwable => errors.getOrElseUpdate(name,
-                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"): Unit
+              case e: Throwable =>
+                failedThisPass += name
+                errors.getOrElseUpdate(name,
+                  s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"): Unit
             }
             into += name -> (System.nanoTime() - t) / 1e9
             i += 1
@@ -638,11 +678,11 @@ object Bench {
         }
       }
       wsnaps += weatherSnap()
-      sweep(pass1, 0)
+      sweep(pass1, failed1, 0)
       renderQueries(done = false)
       val pass1Total = pass1.values.sum
       PipelineLoop.reset() // the memoized loop must re-run in pass 2
-      sweep(pass2, math.max(120.0, pass1Total))
+      sweep(pass2, failed2, math.max(120.0, pass1Total))
       wsnaps += weatherSnap()
       renderQueries(done = true)
       spark.stop()
@@ -1018,7 +1058,13 @@ object Bench {
         // leftover budget usually holds a fresh-JVM pair, which is
         // always better evidence than anything measured inside this
         // churned JVM.
-        val tinyRows = 100000L
+        // the tiny pair must sit in its OWN rows-group: a failed ladder
+        // attempt can bank partial samples at the clamped minimum size
+        // (max(100000, r)), and renderSamples pairs per rows-group — a
+        // leftover two-pass ladder sample must never zip against a
+        // single-pass tiny sample (mixed protocols in one ratio)
+        var tinyRows = 100000L
+        while (samples.exists(_.rows == tinyRows)) tinyRows -= 1
         val keepPasses = passesPerChild
         passesPerChild = 1
         fields("scaling_mode") = "\"subprocess_tiny\""
@@ -1026,6 +1072,11 @@ object Bench {
           remaining >= cap(nHigh, tinyRows) + cap(nLow, tinyRows) + pairSlack &&
             pairAt(tinyRows, cap(nHigh, tinyRows), cap(nLow, tinyRows))
         passesPerChild = keepPasses
+        // the mode field documents evidence PROVENANCE — when the tiny
+        // pair never completed, any samples in the artifact came from
+        // the normal full-ladder protocol, and the label must say so
+        if (!tinyOk) fields("scaling_mode") =
+          if (samples.nonEmpty) "\"subprocess_partial\"" else "\"none\""
         if (!tinyOk && remaining > 60) {
           // Absolute last resort: one in-process pair, SINGLE pass per
           // level, each level budget-bounded to the remaining wall (the
@@ -1039,10 +1090,12 @@ object Bench {
           val keepAqe = sys.props.get("graft.bench.aqe")
           try {
             System.setProperty("graft.bench.aqe", "false") // match the children
-            // rows+1 keeps the in-process pair in its own rows-group so
-            // the per-rows pairing can never ratio an in-process side
-            // against a leftover subprocess sample (different mode)
-            val inRows = tinyRows + 1
+            // its own rows-group again: the per-rows pairing must never
+            // ratio an in-process side against a leftover subprocess
+            // sample (different mode) — including a banked one-sided
+            // tiny sample or a ladder size that happens to be rows+1
+            var inRows = tinyRows + 1
+            while (samples.exists(_.rows == inRows)) inRows += 1
             val t0 = elapsed
             measureLevelRuns(nHigh, inRows, 1, math.max(30.0, remaining - 30.0))
               .headOption.foreach { case (fit, score) =>

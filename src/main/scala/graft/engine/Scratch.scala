@@ -46,9 +46,13 @@ object Scratch {
     * pid no longer exists; unrecognized names are left alone except the
     * legacy shared-layout `blockmgr-*`/`spark-*` dirs, which no current
     * code writes — but which a still-running JVM built from an OLDER
-    * checkout could be actively using, so those are only reaped once
-    * their mtime is stale (>10 min; live shuffle scratch is rewritten
-    * continuously, while a true orphan's mtime froze at the kill). */
+    * checkout could be actively using, so those are only reaped once the
+    * NEWEST mtime anywhere in the tree is stale (>10 min). The top-level
+    * mtime alone is not enough: shuffle blocks land as files nested two
+    * levels down (a hash-bucket subdir, then the block file) and never
+    * touch the root dir's mtime, so a live legacy dir would look frozen
+    * at the top while its leaves churn. A true orphan's whole tree
+    * froze at the kill. */
   def cleanupOrphans(): Long = {
     val base = new java.io.File(root)
     val entries = Option(base.listFiles()).getOrElse(Array.empty)
@@ -61,11 +65,21 @@ object Scratch {
           s.drop(1).takeWhile(_.isDigit).toLongOption
             .exists(pid => !ProcessHandle.of(pid).isPresent)
         case s => (s.startsWith("blockmgr-") || s.startsWith("spark-")) &&
-          f.lastModified() < staleMs
+          newestMtime(f) < staleMs
       }
       if (ownerDead) { freed += sizeOf(f); deleteRecursively(f) }
     }
     freed
+  }
+
+  /** Newest mtime anywhere in the tree (orphan trees are fully dead, so
+    * the walk is cheap; a live tree pays one directory scan). */
+  private def newestMtime(f: java.io.File): Long = {
+    val own = f.lastModified()
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(own)((m, c) => math.max(m, newestMtime(c)))
+    else own
   }
 
   /** Bytes currently held by the scratch root (tmpfs = resident RAM). */

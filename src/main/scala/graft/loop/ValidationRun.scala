@@ -242,20 +242,24 @@ object ValidationRun {
 
     // Final decisions from the final-state model (refit on the last
     // checkpointed statuses — deterministic for fresh AND resumed runs).
-    // The threshold refit runs while the last round's flagged frame is
-    // still cached (it feeds the statuses projection); the returned
-    // decisions PLAN then reads statuses from the checkpoint instead —
-    // byte-identical content — so the cache can be released here rather
-    // than holding executor memory for as long as callers keep
+    // ONE scoreRound invocation feeds BOTH the threshold refit and the
+    // decisions: the recalibration inside uses percentile_approx, whose
+    // result can depend on partition/merge order past the sketch's exact
+    // regime, so discovering the threshold on one scoring pass and
+    // applying it to another could flip boundary rows at large cfg.n.
+    // The shared plan reads statuses from the checkpoint (byte-identical
+    // to the cached frame's content), so the loop cache is released here
+    // rather than holding executor memory for as long as callers keep
     // re-evaluating the returned frame.
-    val tFinal = Thresholds.discover(
-      scoreRound(statuses), "invalidity_score", "status", knownCount, n)._1
     val finalStatuses =
       if (cfg.rounds > 0)
         TableIO.read(spark, statusPath(cfg, cfg.rounds)).select("image_id", "status")
       else statuses
     prevFlagged.foreach(_.unpersist())
-    val decisions = Scorer.withDecision(scoreRound(finalStatuses), tFinal)
+    val finalScored = scoreRound(finalStatuses)
+    val tFinal = Thresholds.discover(
+      finalScored, "invalidity_score", "status", knownCount, n)._1
+    val decisions = Scorer.withDecision(finalScored, tFinal)
       .select("image_id", "decision", "invalidity_score", "scores",
         "scrubbed_caption", "status")
     RunResult(decisions, metricsHist.toSeq, thresholds.toSeq,

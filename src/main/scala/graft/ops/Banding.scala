@@ -96,12 +96,15 @@ object Banding {
     * Numeric parity: mirrors [[graft.ops.Similarity.cosine]] exactly —
     * per-element float→double casts, left-to-right accumulation, and the
     * zero-norm guard (cos := −1, never emitted) — so results are
-    * bit-identical to the former candidate-join shape. */
+    * bit-identical to the former candidate-join shape. Null vectors are
+    * filtered before the scan (the join shape dropped them via the null
+    * cosine; the run-scan would NPE on them instead). */
   def cosinePairs(keyed: DataFrame, maxBucket: Int, threshold: Double,
       truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
     keyed
+      .filter(col("v").isNotNull)
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("id"))
       .select(col("key"), col("id"), col("v"))

@@ -243,8 +243,10 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
-  /** Embedding near-duplicate pairs: multi-table hyperplane-LSH buckets →
-    * slim candidate self-join → exact-cosine verify ≥ threshold.
+  /** Embedding near-duplicate pairs: multi-table hyperplane-LSH keys →
+    * exact cosine scored INSIDE the banding run-scan
+    * ([[graft.ops.Banding.cosinePairs]]) — candidate pairs never cross a
+    * shuffle.
     *
     * Scale shape (fixes the round-1 within-bucket n² defect):
     *  - `nPlanes` auto-scales with n (`ceil(log2(n/targetBucket))`) so the
@@ -252,12 +254,14 @@ object Similarity {
     *    recall for real near-dups (cos ≥ threshold) is recovered with
     *    `tables` independent hash tables: P(candidate) = 1−(1−p^b)^L,
     *    p = 1 − acos(cos)/π per bit.
-    *  - buckets larger than `maxBucket` are dropped before the self-join
-    *    (degenerate-cluster guard, same policy as PhashDup.maxBucket) —
-    *    they can only arise from pathological mass-duplicate clusters,
-    *    which exact/minhash dedup handles first in a real pipeline.
-    *  - the self-join carries (id, table, sig) only; vectors re-join on id
-    *    for verification (payload crosses the shuffle once per side). */
+    *  - each same-key run is capped to its FIRST `maxBucket` members in
+    *    (key, id) order (degenerate-cluster guard, same policy as
+    *    PhashDup.maxBucket; overflow rows only lose pairs against other
+    *    cap-overflow rows — mass-duplicate clusters are exact/minhash
+    *    dedup's job first in a real pipeline).
+    *  - the vector rides the banding exchange once per table; only TRUE
+    *    near-dup pairs leave the scan, then re-join on id solely to
+    *    restore the caller's original id type. */
   def cosineNearDupPairs(
       embeddings: DataFrame, // (vec_id, embedding)
       dim: Int,
