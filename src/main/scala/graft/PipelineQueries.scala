@@ -142,6 +142,8 @@ object PipelineQueries {
     new java.io.File("target/verify-fixtures/emb_pairs.parquet").getAbsolutePath
   private[graft] def embClusterPairsFixturePath: String =
     new java.io.File("target/verify-fixtures/emb_cluster_pairs.parquet").getAbsolutePath
+  private[graft] def embDriverPairsFixturePath: String =
+    new java.io.File("target/verify-fixtures/emb_driver_pairs.parquet").getAbsolutePath
   /** Generator-side ground truth (expected decision / scrubbed caption /
     * fault class per row) — lets DuckDB recompute the accuracy and
     * scrub-equality aggregations independently. */
@@ -370,6 +372,32 @@ object PipelineQueries {
         .select(col("id1"), col("id2"))
       pairs.coalesce(1).write.mode("overwrite").parquet(embClusterPairsFixturePath)
       PhashDup.clusters(s.read.parquet(embClusterPairsFixturePath))
+        .select(col("image_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
+    // Same composed shape (hyperplane banding → fused cosine run-scan →
+    // min-label closure) over the DRIVER embeddings table. The driver
+    // vectors are uniform (max pairwise cosine ≈0.51), so no true
+    // near-dups exist at the production 0.97 threshold — the variant
+    // runs at a threshold the corpus supports (0.40, 59 true pairs at
+    // sf0.01) with the banding retuned for it by the recall formula in
+    // the operator doc: per-bit p = 1−acos(0.40)/π ≈ 0.63, so 3 planes ×
+    // 4 tables gives P(candidate) ≈ 1−(1−0.63³)⁴ ≈ 0.68 where the
+    // production 8×2 would find ~5%. Oracle: DuckDB recomputes each
+    // emitted pair's exact cosine from the RAW driver table (dropping
+    // any unsound pair would change the closure → hash mismatch) and
+    // the transitive closure via recursive CTE. The threshold decision
+    // is made on the 4dp-rounded cosine on both engines, as in
+    // qf_dedup_embedding.
+    "qf_dedup_emb_clusters_driver" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val pairs = graft.ops.Similarity.cosineNearDupPairs(
+          emb, dim = 64, threshold = 0.3995, nPlanes = 3, tables = 4)
+        .filter(round(col("cos"), 4) >= 0.40)
+        .select(col("id1"), col("id2"))
+      pairs.coalesce(1).write.mode("overwrite").parquet(embDriverPairsFixturePath)
+      PhashDup.clusters(s.read.parquet(embDriverPairsFixturePath))
         .select(col("image_id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
     }),
@@ -726,6 +754,32 @@ object PipelineQueries {
         s"""WITH RECURSIVE pr AS (
            |  SELECT id1, id2 FROM read_parquet('${embClusterPairsFixturePath
                 .replace("'", "''")}/*.parquet')),
+           |e AS (SELECT id1 AS a, id2 AS b FROM pr
+           |      UNION SELECT id2, id1 FROM pr),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+           |SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+           |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+      // Driver-table variant: the emitted pairs are first SOUNDNESS-
+      // checked (exact cosine recomputed from the raw embeddings table,
+      // threshold on the 4dp-rounded value) and the closure is then
+      // rebuilt over only the surviving pairs — an unsound emitted pair
+      // would perturb the closure and fail the hash compare.
+      "qf_dedup_emb_clusters_driver" ->
+        s"""WITH RECURSIVE pr0 AS (
+           |  SELECT id1, id2 FROM read_parquet('${embDriverPairsFixturePath
+                .replace("'", "''")}/*.parquet')),
+           |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |       FROM embeddings),
+           |pr AS (
+           |  SELECT p.id1, p.id2 FROM pr0 p
+           |  JOIN ev a ON a.vec_id = p.id1
+           |  JOIN ev b ON b.vec_id = p.id2
+           |  WHERE ROUND(list_dot_product(a.v, b.v)
+           |      / (sqrt(list_dot_product(a.v, a.v))
+           |         * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.40),
            |e AS (SELECT id1 AS a, id2 AS b FROM pr
            |      UNION SELECT id2, id1 FROM pr),
            |reach(a, b) AS (
