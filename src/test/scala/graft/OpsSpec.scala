@@ -257,6 +257,19 @@ class OpsSpec extends AnyFunSuite {
     assert(dDiff >= 12, s"unrelated images too close: $dDiff bits")
   }
 
+  test("cosineNearDupPairs skips null embedding vectors (join-shape semantics)") {
+    // The replaced candidates-join shape dropped null vectors via the
+    // null cosine; the fused run-scan must FILTER them, not NPE.
+    val emb = Similarity.synthEmbeddings(spark, 200L)
+      .unionByName(Seq((9999L, Option.empty[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val pairs = Similarity.cosineNearDupPairs(emb, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 9999L || p._2 == 9999L),
+      "null-vector row produced a pair")
+    assert(pairs.nonEmpty, "null-tolerance fixture produced zero pairs")
+  }
+
   test("run-scan cosine pairs are bit-identical to the candidates-join shape") {
     // The regime that OOM'd the join shape at 100k rows: clustered
     // vectors push every LSH bucket toward the cap. At 3000 rows the old

@@ -38,6 +38,27 @@ class ScratchSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy staleness is judged by the newest NESTED mtime, not the top dir") {
+    // Shuffle blocks land two levels down (bucket subdir, then block
+    // file) without touching the root dir's mtime — a live
+    // older-checkout JVM's scratch looks frozen at the top while its
+    // leaves churn, and must survive the sweep.
+    val root = new java.io.File(Scratch.root)
+    root.mkdirs()
+    val legacyLive = new java.io.File(root, "blockmgr-nested-spec")
+    val bucket = new java.io.File(legacyLive, "0a")
+    bucket.mkdirs()
+    new java.io.File(bucket, "shuffle_0_0_0.data").createNewFile()
+    val old = System.currentTimeMillis() - 11 * 60 * 1000L
+    legacyLive.setLastModified(old): Unit
+    bucket.setLastModified(old): Unit // only the leaf file is fresh
+    try {
+      Scratch.cleanupOrphans(): Unit
+      assert(legacyLive.exists(),
+        "legacy dir with a fresh nested write was reaped")
+    } finally Scratch.deleteRecursively(legacyLive)
+  }
+
   test("localDir creates a per-pid dir under the root") {
     val d = new java.io.File(Scratch.localDir("spec2"))
     assert(d.exists() && d.isDirectory)
