@@ -213,11 +213,15 @@ object Bench {
     // of pipelineOnce and ends the loop with whatever was banked.
     val watchdog = Option.when(budgetSec > 0) {
       val t = new java.util.Timer("graft-bench-budget", true)
+      // the wall is anchored at measureLevelRuns ENTRY, not at Timer
+      // scheduling: session creation above can itself stall for tens of
+      // seconds in a contended window, and a wall that started after it
+      // would fire late enough to defeat the parent's kill margin
       t.scheduleAtFixedRate(new java.util.TimerTask {
         def run(): Unit =
           try spark.sparkContext.cancelAllJobs()
           catch { case _: Throwable => () }
-      }, math.max(1L, (budgetSec * 1000).toLong), 5000L)
+      }, math.max(1L, ((budgetSec - elapsed) * 1000).toLong), 5000L)
       t
     }
     val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
@@ -233,11 +237,13 @@ object Bench {
         p += 1
       }
     } catch {
-      // with a budget set, a throw is (almost always) the watchdog's
-      // cancellation — return what completed; an over-budget partial
-      // pass is never a sample. Unbudgeted callers keep fail-fast
-      // semantics: a genuine failure must not silently shrink the runs.
-      case e: Throwable => if (budgetSec <= 0) throw e
+      // the watchdog can only have fired once the wall was reached, so
+      // a throw BEFORE it is a genuine failure and keeps fail-fast
+      // semantics (a silent stop would under-report errors in the
+      // artifact's failure accounting); a throw at/after the wall is
+      // the cancellation — return what completed, an over-budget
+      // partial pass is never a sample
+      case e: Throwable => if (budgetSec <= 0 || elapsed < budgetSec) throw e
     } finally {
       watchdog.foreach(_.cancel())
       spark.stop()
@@ -1086,6 +1092,8 @@ object Bench {
           // in-sbt 2-thread sample taken after this JVM churned a
           // 32-thread phase violates the bench's own fresh-JVM hygiene
           // rule and must never wear the gate key (round 4's 25.7).
+          val modeBeforeInproc = fields("scaling_mode")
+          val samplesBeforeInproc = samples.size
           fields("scaling_mode") = "\"inproc_fallback\""
           val keepAqe = sys.props.get("graft.bench.aqe")
           try {
@@ -1116,6 +1124,11 @@ object Bench {
               case Some(v) => System.setProperty("graft.bench.aqe", v): Unit
               case None => System.clearProperty("graft.bench.aqe"): Unit
             }
+            // provenance again: if the fallback banked NOTHING, any
+            // samples in the artifact are still the earlier subprocess
+            // leftovers and must not wear the inproc label
+            if (samples.size == samplesBeforeInproc)
+              fields("scaling_mode") = modeBeforeInproc
           }
         }
         if (samples.isEmpty) fields("scaling_mode") = "\"none\""

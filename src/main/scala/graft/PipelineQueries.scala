@@ -391,7 +391,7 @@ object PipelineQueries {
     // is made on the 4dp-rounded cosine on both engines, as in
     // qf_dedup_embedding.
     "qf_dedup_emb_clusters_driver" -> ((s, d) => {
-      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val emb = graft.engine.Tables.embeddings(s, d)
       val pairs = graft.ops.Similarity.cosineNearDupPairs(
           emb, dim = 64, threshold = 0.3995, nPlanes = 3, tables = 4)
         .filter(round(col("cos"), 4) >= 0.40)

@@ -95,10 +95,13 @@ object Banding {
     *
     * Numeric parity: mirrors [[graft.ops.Similarity.cosine]] exactly —
     * per-element float→double casts, left-to-right accumulation, and the
-    * zero-norm guard (cos := −1, never emitted) — so results are
-    * bit-identical to the former candidate-join shape. Null vectors are
-    * filtered before the scan (the join shape dropped them via the null
-    * cosine; the run-scan would NPE on them instead). */
+    * zero-norm guard (cos := −1, never emitted) — so results on
+    * null-free input are bit-identical to the former candidate-join
+    * shape. Null vectors are filtered before the scan (the join shape
+    * dropped them via the null cosine; the run-scan would NPE on them
+    * instead) — on input WITH nulls the shapes can differ at exactly-
+    * at-cap buckets, where the join shape let a null row consume a cap
+    * slot before dropping it and the filter frees that slot. */
   def cosinePairs(keyed: DataFrame, maxBucket: Int, threshold: Double,
       truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = keyed.sparkSession
