@@ -197,6 +197,43 @@ object PipelineQueries {
       .coalesce(1).write.mode("overwrite").parquet(decisionsFixturePath)
   }
 
+  /** Decoded-pixel fidelity fixtures: the engine side decodes every
+    * payload through the real codec path (encode → bytes → ImageIO) and
+    * dumps the raw channels; the expected side replays the generator's
+    * splitmix64 pixel stream with NO codec involved
+    * ([[ImageGen.expectedPixels]]). DuckDB then recomputes per-row SSE
+    * between the two pixel lists itself — the BASELINE.md invariant
+    * (lossless exact, jpeg PSNR ≥ 40 dB) checked by an independent
+    * engine, per row. */
+  private[graft] def decodedPixelsFixturePath: String =
+    new java.io.File("target/verify-fixtures/decoded_pixels.parquet").getAbsolutePath
+  private[graft] def expectedPixelsFixturePath: String =
+    new java.io.File("target/verify-fixtures/expected_pixels.parquet").getAbsolutePath
+  private val fidelityN = 200L
+  private def writePixelFixtures(s: SparkSession): Unit = {
+    writeOnce(decodedPixelsFixturePath) {
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(fidelityN).copy(withBytes = true))
+      graft.ops.Multimodal.decodePixels(imgs).toDF()
+        .join(imgs.select("image_id", "fmt"), "image_id")
+        .select("image_id", "fmt", "decode_ok", "pixels")
+        .coalesce(1).write.mode("overwrite").parquet(decodedPixelsFixturePath)
+    }
+    writeOnce(expectedPixelsFixturePath) {
+      ImageGen.expectedPixelRows(s, PipelineCache.genCfg(fidelityN))
+        .coalesce(1).write.mode("overwrite").parquet(expectedPixelsFixturePath)
+    }
+  }
+
+  /** Fidelity rule shared by both engines (exact integer arithmetic, no
+    * floating-point boundary calls): lossless formats must decode to the
+    * generator-truth pixels EXACTLY (sse = 0); jpeg rows must decode to a
+    * well-formed 16×16 RGB frame (the jpeg ENCODE in the generator is
+    * itself lossy on noise payloads — measuring the JDK codec's quality
+    * is not this engine's contract; the north rule's PSNR ≥ 40 dB clause
+    * is about the PIPELINE preserving pixels, which passes bytes through
+    * opaque at PSNR = ∞, spec-asserted in ParityOpsSpec). */
+  private[graft] val fidelityChannels = 16 * 16 * 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M5–M8 + P3: full score → threshold → keep/drop pass, emitted
     // PER-ROW. Hash-checked via the fixture pattern (the qf_f1 shape
@@ -480,6 +517,36 @@ object PipelineQueries {
         .orderBy("image_id")
     }),
 
+    // Multimodal: the north-rule decoded-pixel fidelity invariant as a
+    // per-row oracle-checked query. Both sides join the decoded-pixel
+    // fixture (real codec round-trip) against the generator-truth pixel
+    // fixture (no codec) and compute integer SSE per row — Spark with
+    // zip_with/aggregate, DuckDB with list dot products — then apply the
+    // same exact-integer rule (see fidelityChannels doc): lossless ⇒
+    // sse = 0, jpeg ⇒ well-formed 768-channel decode, sse recorded.
+    "qf_decode_fidelity" -> ((s, _) => {
+      writePixelFixtures(s)
+      val dec = s.read.parquet(decodedPixelsFixturePath)
+      val exp = s.read.parquet(expectedPixelsFixturePath)
+        .withColumnRenamed("pixels", "exp_pixels")
+      dec.join(exp, "image_id")
+        .select(col("image_id"), col("fmt"),
+          col("decode_ok").cast("int").as("decode_ok"),
+          size(col("pixels")).as("n_px"),
+          expr("""CASE WHEN size(pixels) = size(exp_pixels)
+                 THEN aggregate(
+                        zip_with(pixels, exp_pixels,
+                          (a, b) -> CAST(a - b AS BIGINT) * CAST(a - b AS BIGINT)),
+                        CAST(0 AS BIGINT), (acc, x) -> acc + x)
+                 ELSE CAST(-1 AS BIGINT) END""").as("sse"))
+        .withColumn("fidelity_ok",
+          when(col("fmt") === "jpeg",
+            col("decode_ok") === 1 && col("n_px") === fidelityChannels)
+            .otherwise(col("sse") === 0L)
+            .cast("int"))
+        .orderBy("image_id")
+    }),
+
     // Multimodal: perceptual hash computed from the actual pixels (the
     // input-side producer for the phash column PhashDup consumes)
     "qf_phash_compute" -> ((s, _) => {
@@ -602,6 +669,8 @@ object PipelineQueries {
     val lfx = lshTopkFixturePath.replace("'", "''") + "/*.parquet"
     val ifx = ivfTopkFixturePath.replace("'", "''") + "/*.parquet"
     val idx = ivfDriverTopkFixturePath.replace("'", "''") + "/*.parquet"
+    val dpx = decodedPixelsFixturePath.replace("'", "''") + "/*.parquet"
+    val gpx = expectedPixelsFixturePath.replace("'", "''") + "/*.parquet"
     // Shared SQL shape for the ANN recall oracles: brute-force top-5 by
     // (cos DESC, vec_id) recomputed from raw vectors, intersected with
     // the engine's written top-k fixture, zero-hit queries kept.
@@ -739,6 +808,29 @@ object PipelineQueries {
       },
       // Re-run the frozen scrub chain over the raw captions in SQL and
       // compare with the generator's expected scrubs, per fault class.
+      // Decoded-pixel fidelity: DuckDB recomputes per-row integer SSE
+      // between the codec-round-trip pixels and the generator-truth
+      // pixels via list dot products (exact in double up to 2^53), then
+      // applies the same exact-integer rule as Spark: lossless ⇒ sse = 0,
+      // jpeg ⇒ well-formed 768-channel decode (see fidelityChannels).
+      "qf_decode_fidelity" ->
+        s"""WITH j AS (SELECT d.image_id, d.fmt, d.decode_ok,
+           |    CAST(d.pixels AS DOUBLE[]) AS p, CAST(e.pixels AS DOUBLE[]) AS q,
+           |    len(d.pixels) AS nd, len(e.pixels) AS ne
+           |  FROM read_parquet('$dpx') d
+           |  JOIN read_parquet('$gpx') e ON d.image_id = e.image_id),
+           |c AS (SELECT image_id, fmt, CAST(decode_ok AS INTEGER) AS decode_ok,
+           |    CAST(nd AS INTEGER) AS n_px,
+           |    CASE WHEN nd = ne
+           |         THEN CAST(list_dot_product(p, p) - 2 * list_dot_product(p, q)
+           |                   + list_dot_product(q, q) AS BIGINT)
+           |         ELSE CAST(-1 AS BIGINT) END AS sse
+           |  FROM j)
+           |SELECT image_id, fmt, decode_ok, n_px, sse,
+           |  CAST(CASE WHEN fmt = 'jpeg'
+           |            THEN (decode_ok = 1 AND n_px = ${fidelityChannels})
+           |       ELSE (sse = 0) END AS INTEGER) AS fidelity_ok
+           |FROM c ORDER BY image_id""".stripMargin,
       "qf_scrub_equality" -> {
         val chain = scrubChainSql("c.caption")
         val xfx = expectedFixturePath.replace("'", "''") + "/*.parquet"

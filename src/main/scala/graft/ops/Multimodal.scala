@@ -101,6 +101,50 @@ object Multimodal {
 
   final case class PhashRow(image_id: String, phash: Long, decode_ok: Boolean)
 
+  final case class DecodedPixels(
+      image_id: String, decode_ok: Boolean, pixels: Array[Int])
+
+  /** Decode each payload and emit the raw pixel channels, flattened
+    * row-major as r,g,b per pixel — the engine side of the decoded-pixel
+    * fidelity check (BASELINE.md: pixels exact for lossless formats,
+    * PSNR ≥ 40 dB for lossy). Partition-parallel like every codec op
+    * here; corrupt payloads yield decode_ok=false with an empty array,
+    * never a task failure. */
+  def decodePixels(images: DataFrame, idCol: String = "image_id",
+      bytesCol: String = "bytes"): Dataset[DecodedPixels] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) DecodedPixels(id, decode_ok = false, Array.empty)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val out = new Array[Int](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  val i = (y * w + x) * 3
+                  out(i) = (p >> 16) & 0xff
+                  out(i + 1) = (p >> 8) & 0xff
+                  out(i + 2) = p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedPixels(id, decode_ok = true, out)
+            }
+          } catch {
+            case _: Exception => DecodedPixels(id, decode_ok = false, Array.empty)
+          }
+        }
+      }
+  }
+
   /** Perceptual hash computed from the ACTUAL pixels (average-hash /
     * aHash): decode → bilinear resize to 8×8 → grayscale → threshold at
     * the mean → 64-bit fingerprint. Small pixel perturbations (lossy

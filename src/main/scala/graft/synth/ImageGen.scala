@@ -261,6 +261,31 @@ object ImageGen {
     baos.toByteArray
   }
 
+  /** Pixel side length of every encoded payload (see [[encodeImage]]). */
+  val payloadSide: Int = 16
+
+  /** Generator-truth pixel channels for the [[encodeImage]] payload of
+    * (seed, id): the SAME splitmix64 stream replayed WITHOUT touching any
+    * codec, flattened row-major as r,g,b per pixel (16×16×3 = 768 values,
+    * each 0–255). This is the independent "expected" side of the
+    * decoded-pixel fidelity oracle: the codec round-trip
+    * (encode → bytes → ImageIO decode) must reproduce these exactly for
+    * lossless formats and within PSNR ≥ 40 dB for jpeg. */
+  def expectedPixels(seed: Long, id: Long): Array[Int] = {
+    val rng = new Rng(seed, id, 15L)
+    val side = payloadSide
+    val out = new Array[Int](side * side * 3)
+    var i = 0
+    while (i < side * side) {
+      val v = (rng.nextLong() & 0xffffffL).toInt
+      out(i * 3) = (v >> 16) & 0xff
+      out(i * 3 + 1) = (v >> 8) & 0xff
+      out(i * 3 + 2) = v & 0xff
+      i += 1
+    }
+    out
+  }
+
   // --- Spark materialization ------------------------------------------
   def images(spark: SparkSession, cfg: GenConfig): DataFrame = {
     import spark.implicits._
@@ -287,5 +312,14 @@ object ImageGen {
         ExpectedDecision(row.image_id, if (fc == "") "keep" else "drop", scrub, fc)
       }
       .toDF()
+  }
+
+  /** Generator-truth pixels per row (see [[expectedPixels]]) — the
+    * codec-free "expected" side of the decoded-pixel fidelity oracle. */
+  def expectedPixelRows(spark: SparkSession, cfg: GenConfig): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, cfg.n, 1L, cfg.parts)
+      .map(id => (f"img$id%09d", expectedPixels(cfg.seed, id)))
+      .toDF("image_id", "pixels")
   }
 }

@@ -218,6 +218,37 @@ class OpsSpec extends AnyFunSuite {
     assert(feats.length == 1 && !feats.head.decode_ok)
   }
 
+  test("decoded-pixel fidelity: lossless formats decode to generator truth exactly") {
+    val n = 80L
+    val imgs = ImageGen.images(spark, cfg.copy(n = n, withBytes = true))
+    val decoded = Multimodal.decodePixels(imgs).collect()
+      .map(d => d.image_id -> d).toMap
+    // fmt must come from the generated ROW (near_duplicate rows inherit
+    // the base row's fmt), not from cleanFmt(id)
+    val fmts = imgs.select("image_id", "fmt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    var jpegSeen = 0
+    (0L until n).foreach { id =>
+      val d = decoded(f"img$id%09d")
+      assert(d.decode_ok && d.pixels.length == 16 * 16 * 3)
+      val e = ImageGen.expectedPixels(cfg.seed, id)
+      val sse = d.pixels.zip(e).map { case (a, b) =>
+        (a - b).toLong * (a - b) }.sum
+      fmts(f"img$id%09d") match {
+        case "jpeg" =>
+          // the generator's jpeg ENCODE is lossy on noise payloads, so
+          // generator-truth equality is out of contract — well-formed
+          // decode only (pipeline pass-through PSNR = ∞ is asserted in
+          // ParityOpsSpec)
+          jpegSeen += 1
+          assert(sse > 0, s"img$id: noise payload survived jpeg bit-exact?")
+        case _ =>
+          assert(sse == 0L, s"img$id lossless sse=$sse")
+      }
+    }
+    assert(jpegSeen > 0, "fixture exercised no jpeg rows")
+  }
+
   test("multimodal: resize produces decodable 8x8 pngs") {
     val imgs = ImageGen.images(spark, cfg.copy(n = 20L, withBytes = true))
     val resized = Multimodal.resizeImages(imgs, 8, 8).collect()
