@@ -510,10 +510,20 @@ object PipelineQueries {
       recallVsBrute(s, brute, ivf, Seq(0L, 1L, 2L), ivfDriverTopkFixturePath)
     }),
 
-    // Multimodal: real ImageIO decode + channel-mean feature extraction
+    // Multimodal: real ImageIO decode + channel-mean feature extraction.
+    // Oracle-checked in layers: qf_decode_fidelity verifies the decoded
+    // pixels against the generator-truth stream; this query's oracle
+    // then recomputes the per-channel means from the SAME decoded-pixel
+    // fixture in DuckDB (unnest + channel stripes). Sums are exact
+    // integers and every payload is 16×16 (payloadSide), so mean = sum
+    // / 256 is exactly representable in IEEE double on both engines —
+    // bit-equal without rounding.
     "qf_image_features" -> ((s, _) => {
-      val imgs = ImageGen.images(s, PipelineCache.genCfg(200L).copy(withBytes = true))
+      writePixelFixtures(s)
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(fidelityN).copy(withBytes = true))
       graft.ops.Multimodal.imageFeatures(imgs).toDF()
+        .select(col("image_id"), col("decode_ok").cast("int").as("decode_ok"),
+          col("width"), col("height"), col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("image_id")
     }),
 
@@ -831,6 +841,32 @@ object PipelineQueries {
            |            THEN (decode_ok = 1 AND n_px = ${fidelityChannels})
            |       ELSE (sse = 0) END AS INTEGER) AS fidelity_ok
            |FROM c ORDER BY image_id""".stripMargin,
+      // Image features: recompute the per-channel means from the
+      // decoded-pixel fixture (pixels flattened r,g,b per pixel; every
+      // payload is square 16×16, so w = h = sqrt(len/3)). Sums are
+      // exact integers and 256 is a power of two, so sum/256 is exact
+      // in double on both engines — no rounding needed.
+      "qf_image_features" ->
+        s"""WITH u AS (SELECT image_id,
+           |    unnest(pixels) AS v, generate_subscripts(pixels, 1) AS i
+           |  FROM read_parquet('$dpx')),
+           |m AS (SELECT image_id,
+           |    SUM(CASE WHEN (i - 1) % 3 = 0 THEN v END)
+           |      / (COUNT(*) / 3) AS mean_r,
+           |    SUM(CASE WHEN (i - 1) % 3 = 1 THEN v END)
+           |      / (COUNT(*) / 3) AS mean_g,
+           |    SUM(CASE WHEN (i - 1) % 3 = 2 THEN v END)
+           |      / (COUNT(*) / 3) AS mean_b,
+           |    CAST(round(sqrt(COUNT(*) / 3)) AS INTEGER) AS side
+           |  FROM u GROUP BY image_id)
+           |SELECT d.image_id, CAST(d.decode_ok AS INTEGER) AS decode_ok,
+           |  CASE WHEN d.decode_ok THEN m.side ELSE 0 END AS width,
+           |  CASE WHEN d.decode_ok THEN m.side ELSE 0 END AS height,
+           |  COALESCE(m.mean_r, 0.0) AS mean_r,
+           |  COALESCE(m.mean_g, 0.0) AS mean_g,
+           |  COALESCE(m.mean_b, 0.0) AS mean_b
+           |FROM read_parquet('$dpx') d LEFT JOIN m USING (image_id)
+           |ORDER BY d.image_id""".stripMargin,
       "qf_scrub_equality" -> {
         val chain = scrubChainSql("c.caption")
         val xfx = expectedFixturePath.replace("'", "''") + "/*.parquet"
