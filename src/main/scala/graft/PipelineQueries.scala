@@ -224,6 +224,38 @@ object PipelineQueries {
     }
   }
 
+  /** Cluster-rule verification fixtures: the engine's structured rules
+    * (tree leaves as conjunct lists with FULL-precision thresholds), the
+    * per-cluster labeled training rows, and the flat conjunct table.
+    * DuckDB re-evaluates every rule against the labeled rows relationally
+    * (unpivot → conjunct join) and recomputes each rule's match/invalid
+    * counts — the model path's first independent-engine check. */
+  private[graft] def clusterLabeledFixturePath: String =
+    new java.io.File("target/verify-fixtures/cluster_labeled.parquet").getAbsolutePath
+  private[graft] def clusterRulesFixturePath: String =
+    new java.io.File("target/verify-fixtures/cluster_rules.parquet").getAbsolutePath
+  private[graft] def clusterConjunctsFixturePath: String =
+    new java.io.File("target/verify-fixtures/cluster_conjuncts.parquet").getAbsolutePath
+  private def writeClusterRuleFixtures(s: SparkSession): Unit =
+    writeOnce(clusterRulesFixturePath) {
+      import s.implicits._
+      val scored = PipelineCache.scored(s, N).withColumn("status", lit("clean"))
+      val knownCount = ImageGen.knownFaults(s, PipelineCache.genCfg(N)).count()
+      val (t, med) = graft.discovery.Thresholds.discover(
+        scored, "invalidity_score", "status", knownCount)
+      val (rules, labeled) = graft.explain.ClusterExplainer.explainStructured(
+        scored, PipelineCache.scoreNames, t, med)
+      labeled.coalesce(1).write.mode("overwrite").parquet(clusterLabeledFixturePath)
+      labeled.unpersist()
+      rules.map(r => (r.cluster_id, r.rule_id, r.verdict, r.rule))
+        .toDF("cluster_id", "rule_id", "verdict", "rule")
+        .coalesce(1).write.mode("overwrite").parquet(clusterRulesFixturePath)
+      rules.flatMap(r => r.conjuncts.zipWithIndex.map { case (c, i) =>
+        (r.cluster_id, r.rule_id, i, c.feature, c.op, c.threshold)
+      }).toDF("cluster_id", "rule_id", "conj_id", "feature", "op", "threshold")
+        .coalesce(1).write.mode("overwrite").parquet(clusterConjunctsFixturePath)
+    }
+
   /** Fidelity rule shared by both engines (exact integer arithmetic, no
     * floating-point boundary calls): lossless formats must decode to the
     * generator-truth pixels EXACTLY (sse = 0); jpeg rows must decode to a
@@ -644,13 +676,45 @@ object PipelineQueries {
 
     // M9–M13: cluster the faulty rows + per-cluster decision-tree rules
     "qf_cluster_rules" -> ((s, _) => {
-      val scored = PipelineCache.scored(s, N).withColumn("status", lit("clean"))
-      val knownCount = ImageGen.knownFaults(s, PipelineCache.genCfg(N)).count()
-      val (t, med) = graft.discovery.Thresholds.discover(
-        scored, "invalidity_score", "status", knownCount)
-      graft.explain.ClusterExplainer.explain(
-        scored, PipelineCache.scoreNames, t, med)
+      writeClusterRuleFixtures(s)
+      s.read.parquet(clusterRulesFixturePath)
+        .select("cluster_id", "rule")
         .orderBy("cluster_id", "rule")
+    }),
+
+    // Model-path verification: re-evaluate every cluster rule against
+    // the labeled rows its tree was trained on and count matches and
+    // invalid-labeled matches per rule, RELATIONALLY (unpivot the score
+    // columns, join the conjunct table, anti-join unsatisfied rows) so
+    // DuckDB can recompute the identical counts from the same fixtures.
+    // Because one tree's leaves partition the feature space, each
+    // cluster's n_match must sum to its labeled row count — asserted in
+    // ExplainSpec; here every count is hash-compared engine-vs-oracle.
+    "qf_cluster_rule_support" -> ((s, _) => {
+      writeClusterRuleFixtures(s)
+      val rows = s.read.parquet(clusterLabeledFixturePath)
+      val rules = s.read.parquet(clusterRulesFixturePath)
+      val conj = s.read.parquet(clusterConjunctsFixturePath)
+      val unpiv = rows.select(col("cluster_id"), col("image_id"), col("label"),
+        explode(map(PipelineCache.scoreNames.flatMap(n =>
+          Seq(lit(n), col(n))): _*)).as(Seq("feature", "value")))
+      val unsat = unpiv.join(conj, Seq("cluster_id", "feature"))
+        .filter(!when(col("op") === "<=", col("value") <= col("threshold"))
+          .otherwise(col("value") > col("threshold")))
+        .select("cluster_id", "rule_id", "image_id").distinct()
+      val pairs = rules.select("cluster_id", "rule_id")
+        .join(rows.select("cluster_id", "image_id", "label"), Seq("cluster_id"))
+      val counts = pairs
+        .join(unsat, Seq("cluster_id", "rule_id", "image_id"), "left_anti")
+        .groupBy("cluster_id", "rule_id")
+        .agg(count(lit(1)).as("n_match"),
+          sum(col("label")).cast("bigint").as("n_invalid"))
+      rules.select("cluster_id", "rule_id", "verdict")
+        .join(counts, Seq("cluster_id", "rule_id"), "left")
+        .select(col("cluster_id"), col("rule_id"), col("verdict"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          coalesce(col("n_invalid"), lit(0L)).as("n_invalid"))
+        .orderBy("cluster_id", "rule_id")
     })
   )
 
@@ -681,6 +745,9 @@ object PipelineQueries {
     val idx = ivfDriverTopkFixturePath.replace("'", "''") + "/*.parquet"
     val dpx = decodedPixelsFixturePath.replace("'", "''") + "/*.parquet"
     val gpx = expectedPixelsFixturePath.replace("'", "''") + "/*.parquet"
+    val clb = clusterLabeledFixturePath.replace("'", "''") + "/*.parquet"
+    val crl = clusterRulesFixturePath.replace("'", "''") + "/*.parquet"
+    val ccj = clusterConjunctsFixturePath.replace("'", "''") + "/*.parquet"
     // Shared SQL shape for the ANN recall oracles: brute-force top-5 by
     // (cos DESC, vec_id) recomputed from raw vectors, intersected with
     // the engine's written top-k fixture, zero-hit queries kept.
@@ -867,6 +934,38 @@ object PipelineQueries {
            |  COALESCE(m.mean_b, 0.0) AS mean_b
            |FROM read_parquet('$dpx') d LEFT JOIN m USING (image_id)
            |ORDER BY d.image_id""".stripMargin,
+      // Cluster-rule support: DuckDB re-evaluates every structured rule
+      // (conjunct table, full-precision thresholds — no arithmetic, only
+      // comparisons on identical parquet doubles) against the labeled
+      // training rows and recomputes each rule's match/invalid counts.
+      "qf_cluster_rule_support" -> {
+        val stripes = PipelineCache.scoreNames.map(n =>
+          s"SELECT cluster_id, image_id, label, '$n' AS feature, $n AS value FROM rows_")
+          .mkString("\n  UNION ALL ")
+        s"""WITH rows_ AS (SELECT * FROM read_parquet('$clb')),
+           |u AS (
+           |  $stripes),
+           |unsat AS (SELECT DISTINCT c.cluster_id, c.rule_id, u.image_id
+           |  FROM read_parquet('$ccj') c
+           |  JOIN u ON u.cluster_id = c.cluster_id AND u.feature = c.feature
+           |  WHERE NOT (CASE WHEN c.op = '<=' THEN u.value <= c.threshold
+           |                  ELSE u.value > c.threshold END)),
+           |pairs AS (SELECT r.cluster_id, r.rule_id, w.image_id, w.label
+           |  FROM read_parquet('$crl') r JOIN rows_ w USING (cluster_id)),
+           |m AS (SELECT p.* FROM pairs p LEFT JOIN unsat s
+           |      ON s.cluster_id = p.cluster_id AND s.rule_id = p.rule_id
+           |         AND s.image_id = p.image_id
+           |      WHERE s.image_id IS NULL),
+           |c AS (SELECT cluster_id, rule_id,
+           |      CAST(COUNT(*) AS BIGINT) AS n_match,
+           |      CAST(SUM(label) AS BIGINT) AS n_invalid
+           |      FROM m GROUP BY cluster_id, rule_id)
+           |SELECT r.cluster_id, r.rule_id, r.verdict,
+           |  CAST(COALESCE(c.n_match, 0) AS BIGINT) AS n_match,
+           |  CAST(COALESCE(c.n_invalid, 0) AS BIGINT) AS n_invalid
+           |FROM read_parquet('$crl') r LEFT JOIN c USING (cluster_id, rule_id)
+           |ORDER BY r.cluster_id, r.rule_id""".stripMargin
+      },
       "qf_scrub_equality" -> {
         val chain = scrubChainSql("c.caption")
         val xfx = expectedFixturePath.replace("'", "''") + "/*.parquet"

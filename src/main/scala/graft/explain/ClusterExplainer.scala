@@ -120,7 +120,22 @@ object ClusterExplainer {
     val model: DecisionTreeClassificationModel = new DecisionTreeClassifier()
       .setMaxDepth(maxDepth).setSeed(seed).fit(assembled)
     assembled.unpersist()
-    rulesFrom(model.rootNode, featureCols, Nil)
+    rulesFrom(model.rootNode, featureCols)
+  }
+
+  /** [[treeRules]] returning structured [[TreeRule]]s (leaf order) for
+    * machine verification alongside the rendered strings. */
+  def treeStructuredRules(
+      labeled: DataFrame,
+      featureCols: Seq[String],
+      maxDepth: Int = 5,
+      seed: Long = 42L,
+      maxFit: Int = 20000): Seq[TreeRule] = {
+    val assembled = assembleBounded(labeled, featureCols, maxFit).cache()
+    val model: DecisionTreeClassificationModel = new DecisionTreeClassifier()
+      .setMaxDepth(maxDepth).setSeed(seed).fit(assembled)
+    assembled.unpersist()
+    structuredRulesFrom(model.rootNode, featureCols, Nil)
   }
 
   /** Random-forest variant of the interpretation model zoo (M11: the
@@ -139,7 +154,7 @@ object ClusterExplainer {
       .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
       .fit(assembled)
     assembled.unpersist()
-    rulesFrom(model.trees.head.rootNode, featureCols, Nil)
+    rulesFrom(model.trees.head.rootNode, featureCols)
   }
 
   /** Gradient-boosted variant (M11: H2oGradientBoosting.py:11-25,
@@ -155,7 +170,7 @@ object ClusterExplainer {
       .setMaxIter(1).setMaxDepth(maxDepth).setSeed(seed)
       .fit(assembled)
     assembled.unpersist()
-    rulesFrom(model.trees.head.rootNode, featureCols, Nil)
+    rulesFrom(model.trees.head.rootNode, featureCols)
   }
 
   /** Grid search (M4): driver-side loop of Spark fits over candidate k,
@@ -195,28 +210,62 @@ object ClusterExplainer {
     best._1
   }
 
-  /** Recurse MLlib tree nodes → "IF cond AND cond THEN valid|invalid"
-    * strings (driver-side, like the reference's treeToCode — pure
-    * interpretation, no data-plane cost). */
-  private def rulesFrom(node: Node, names: Seq[String], path: List[String]): Seq[String] =
+  /** One machine-checkable rule predicate: `feature op threshold` with
+    * op ∈ {"<=", ">"} and the tree's FULL-precision threshold (the
+    * rendered rule string rounds to 4dp for humans; verification joins
+    * evaluate this exact double, identically readable by any engine
+    * from the parquet fixture). */
+  final case class Conjunct(feature: String, op: String, threshold: Double) {
+    def render: String = f"$feature $op $threshold%.4f"
+  }
+
+  /** One leaf of a trained tree as data: the root-first conjunct path
+    * plus the leaf verdict. Rules of one tree are mutually exclusive
+    * and exhaustive over the whole feature space, so any engine can
+    * re-evaluate them row-by-row and the per-rule match counts must
+    * partition the input — the qf_cluster_rule_support oracle. */
+  final case class TreeRule(conjuncts: List[Conjunct], verdict: String) {
+    def render: String = {
+      val cond =
+        if (conjuncts.isEmpty) "always"
+        else conjuncts.map(_.render).mkString(" AND ")
+      s"IF $cond THEN $verdict"
+    }
+  }
+
+  /** Recurse MLlib tree nodes → structured [[TreeRule]]s in deterministic
+    * left-to-right leaf order (driver-side, like the reference's
+    * treeToCode — pure interpretation, no data-plane cost). Categorical
+    * splits cannot occur: every feature is a raw double score assembled
+    * without nominal metadata, so MLlib treats all of them as
+    * continuous. */
+  private def structuredRulesFrom(
+      node: Node, names: Seq[String], path: List[Conjunct]): Seq[TreeRule] =
     node match {
       case leaf: LeafNode =>
         val verdict = if (leaf.prediction >= 0.5) "invalid" else "valid"
-        val cond = if (path.isEmpty) "always" else path.reverse.mkString(" AND ")
-        Seq(s"IF $cond THEN $verdict")
+        Seq(TreeRule(path.reverse, verdict))
       case in: InternalNode =>
-        val (lCond, rCond) = in.split match {
+        val (lc, rc) = in.split match {
           case cs: ContinuousSplit =>
             val f = names(cs.featureIndex)
-            (f"$f <= ${cs.threshold}%.4f", f"$f > ${cs.threshold}%.4f")
-          case cs: CategoricalSplit =>
-            val f = names(cs.featureIndex)
-            (s"$f in ${cs.leftCategories.mkString("{", ",", "}")}",
-              s"$f not in ${cs.leftCategories.mkString("{", ",", "}")}")
+            (Conjunct(f, "<=", cs.threshold), Conjunct(f, ">", cs.threshold))
+          case _: CategoricalSplit =>
+            sys.error("categorical split on all-continuous score features")
         }
-        rulesFrom(in.leftChild, names, lCond :: path) ++
-          rulesFrom(in.rightChild, names, rCond :: path)
+        structuredRulesFrom(in.leftChild, names, lc :: path) ++
+          structuredRulesFrom(in.rightChild, names, rc :: path)
     }
+
+  private def rulesFrom(node: Node, names: Seq[String]): Seq[String] =
+    structuredRulesFrom(node, names, Nil).map(_.render)
+
+  /** One cluster's tree leaf in verification form: `rule_id` is the
+    * deterministic left-to-right leaf index within the cluster's tree;
+    * `rule` is the human-readable rendering (what [[explain]] emits). */
+  final case class ClusterRule(
+      cluster_id: Int, rule_id: Int, verdict: String, rule: String,
+      conjuncts: List[Conjunct])
 
   /** Full interpretation pass: cluster the faulty rows, then per cluster
     * train normal-vs-cluster trees and emit (cluster_id, rule). */
@@ -226,6 +275,30 @@ object ClusterExplainer {
       faultyThreshold: Double,
       normalThreshold: Double,
       k: Int = 4): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val (rules, labeled) =
+      explainStructured(scored, scoreCols, faultyThreshold, normalThreshold, k)
+    labeled.unpersist()
+    spark.createDataset(
+      rules.map(r => (r.cluster_id, r.rule)).sortBy(identity))
+      .toDF("cluster_id", "rule")
+  }
+
+  /** Structured variant of [[explain]]: same clustering and per-cluster
+    * tree fits, returning (a) every rule as machine-checkable conjuncts
+    * ([[ClusterRule]], leaf order) and (b) the per-cluster labeled
+    * training rows (cluster_id, image_id, label, scoreCols*) as a CACHED
+    * frame — callers must unpersist it. An independent engine can then
+    * re-evaluate every rule against the data it was trained on: the
+    * rules of one tree must partition the cluster's labeled rows
+    * (qf_cluster_rule_support oracle). */
+  def explainStructured(
+      scored: DataFrame,
+      scoreCols: Seq[String],
+      faultyThreshold: Double,
+      normalThreshold: Double,
+      k: Int = 4): (Seq[ClusterRule], DataFrame) = {
     val spark = scored.sparkSession
     import spark.implicits._
     val faulty = scored.filter(col("invalidity_score") >= faultyThreshold).cache()
@@ -242,20 +315,32 @@ object ClusterExplainer {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val cids = clusters.select("cluster_id").distinct().as[Int].collect().sorted
+    val cols = col("image_id") +: scoreCols.map(col)
     val futures = cids.toSeq.map { cid =>
       Future {
         val clusterRows = faulty.join(
           clusters.filter(col("cluster_id") === cid), Seq("image_id"), "left_semi")
-        val labeled = normal.select((scoreCols.map(col) :+ lit(0.0).as("label")): _*)
+        val labeled = normal.select((cols :+ lit(0.0).as("label")): _*)
           .unionByName(
-            clusterRows.select((scoreCols.map(col) :+ lit(1.0).as("label")): _*))
-        treeRules(labeled, scoreCols).map(r => (cid, r))
+            clusterRows.select((cols :+ lit(1.0).as("label")): _*))
+        val rs = treeStructuredRules(labeled, scoreCols).zipWithIndex.map {
+          case (r, i) => ClusterRule(cid, i, r.verdict, r.render, r.conjuncts)
+        }
+        (rs, labeled.withColumn("cluster_id", lit(cid)))
       }
     }
-    val rules = Await.result(
+    val perCluster = Await.result(
       Future.sequence(futures), scala.concurrent.duration.Duration(600, "s"))
-      .flatten.sortBy(identity)
+    val rules = perCluster.flatMap(_._1)
+    // Materialize the labeled union BEFORE unpersisting its parents so
+    // the returned frame doesn't silently refit upstream on evaluation.
+    val labeledAll = perCluster.map(_._2)
+      .reduceOption(_ unionByName _)
+      .getOrElse(normal.limit(0).select((cols :+ lit(0.0).as("label")): _*)
+        .withColumn("cluster_id", lit(0)))
+      .cache()
+    labeledAll.count(): Unit
     faulty.unpersist(); normal.unpersist(); clusters.unpersist()
-    spark.createDataset(rules).toDF("cluster_id", "rule")
+    (rules, labeledAll)
   }
 }

@@ -71,4 +71,49 @@ class ExplainSpec extends AnyFunSuite {
       collected.toSeq.map(r => (r.getInt(0), r.getString(1))).sorted,
       "explain rules changed with partition layout")
   }
+
+  test("structured rules partition the labeled rows; verdicts follow the majority") {
+    val scored = PipelineCache.scored(spark, 2000L).withColumn("status", lit("clean"))
+    val knownCount = graft.synth.ImageGen.knownFaults(spark, PipelineCache.genCfg(2000L)).count()
+    val (t, med) = graft.discovery.Thresholds.discover(
+      scored, "invalidity_score", "status", knownCount)
+    val (rules, labeled) = ClusterExplainer.explainStructured(
+      scored, PipelineCache.scoreNames, t, med)
+    val rows = labeled.select(
+      (col("cluster_id") +: col("image_id") +: col("label") +:
+        PipelineCache.scoreNames.map(col)): _*).collect()
+    labeled.unpersist()
+    assert(rules.nonEmpty && rows.nonEmpty)
+    // structured ↔ rendered agreement
+    rules.foreach(r => assert(r.rule ==
+      graft.explain.ClusterExplainer.TreeRule(r.conjuncts, r.verdict).render))
+    val byCluster = rows.groupBy(_.getInt(0))
+    rules.groupBy(_.cluster_id).foreach { case (cid, rs) =>
+      val crows = byCluster(cid)
+      val feat = PipelineCache.scoreNames.zipWithIndex.toMap
+      // evaluate each rule over each row: tree leaves are mutually
+      // exclusive and exhaustive, so every row matches EXACTLY one rule
+      val matchCounts = crows.map { row =>
+        rs.count(r => r.conjuncts.forall { c =>
+          val v = row.getDouble(3 + feat(c.feature))
+          if (c.op == "<=") v <= c.threshold else v > c.threshold
+        })
+      }
+      assert(matchCounts.forall(_ == 1),
+        s"cluster $cid: a labeled row matched ${matchCounts.distinct.sorted.mkString(",")} rules")
+      // strict-majority verdicts (ties are implementation-defined): among
+      // the rows a rule matches, a strict invalid majority must be
+      // verdict=invalid and vice versa (fit sample == labeled rows here,
+      // maxFit not binding at this scale)
+      rs.foreach { r =>
+        val m = crows.filter(row => r.conjuncts.forall { c =>
+          val v = row.getDouble(3 + feat(c.feature))
+          if (c.op == "<=") v <= c.threshold else v > c.threshold
+        })
+        val nInv = m.count(_.getDouble(2) == 1.0)
+        if (2 * nInv > m.length) assert(r.verdict == "invalid", r.rule)
+        if (2 * nInv < m.length) assert(r.verdict == "valid", r.rule)
+      }
+    }
+  }
 }
