@@ -590,19 +590,38 @@ object PipelineQueries {
     }),
 
     // Multimodal: perceptual hash computed from the actual pixels (the
-    // input-side producer for the phash column PhashDup consumes)
+    // input-side producer for the phash column PhashDup consumes).
+    // Oracle-checked: the hash is a pure-integer spec (area-average
+    // aHash, Multimodal.phashFromPixels), so DuckDB recomputes every
+    // 64-bit value relationally from the decoded-pixel fixture — decode
+    // itself is pinned to generator truth by qf_decode_fidelity, making
+    // the whole bytes→phash chain independently verified.
     "qf_phash_compute" -> ((s, _) => {
-      val imgs = ImageGen.images(s, PipelineCache.genCfg(200L).copy(withBytes = true))
+      writePixelFixtures(s)
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(fidelityN).copy(withBytes = true))
       graft.ops.Multimodal.computePhash(imgs).toDF()
+        .select(col("image_id"), col("phash"),
+          col("decode_ok").cast("int").as("decode_ok"))
         .orderBy("image_id")
     }),
 
-    // Multimodal: real resize (Graphics2D) + re-encode
+    // Multimodal: exact-integer area-average resize to an 8×8 feature
+    // grid (renderer-independent — see Multimodal.resizePixelsScalar;
+    // the Graphics2D + PNG re-encode byte path stays spec-tested in
+    // OpsSpec). Oracle-checked: DuckDB recomputes every output channel
+    // relationally from the decoded-pixel fixture, which
+    // qf_decode_fidelity pins to generator truth.
     "qf_image_resize" -> ((s, _) => {
-      val imgs = ImageGen.images(s, PipelineCache.genCfg(100L).copy(withBytes = true))
-      graft.ops.Multimodal.resizeImages(imgs, 8, 8).toDF()
-        .select(col("image_id"), length(col("bytes")).as("n_bytes"), col("w"), col("h"))
-        .orderBy("image_id")
+      writePixelFixtures(s)
+      val imgs = ImageGen.images(s, PipelineCache.genCfg(fidelityN).copy(withBytes = true))
+      graft.ops.Multimodal.resizePixels(imgs, 8, 8).toDF()
+        .filter(col("decode_ok"))
+        .select(col("image_id"), posexplode(col("pixels")).as(Seq("i", "v")))
+        .groupBy(col("image_id"), floor(col("i") / 3).cast("long").as("cell"))
+        .agg(max(when(col("i") % 3 === 0, col("v"))).as("r"),
+          max(when(col("i") % 3 === 1, col("v"))).as("g"),
+          max(when(col("i") % 3 === 2, col("v"))).as("b"))
+        .orderBy("image_id", "cell")
     }),
 
     // Multimodal: frame-sampling plumbing (stubbed codec — see Multimodal)
@@ -934,6 +953,62 @@ object PipelineQueries {
            |  COALESCE(m.mean_b, 0.0) AS mean_b
            |FROM read_parquet('$dpx') d LEFT JOIN m USING (image_id)
            |ORDER BY d.image_id""".stripMargin,
+      // Perceptual hash: recompute the full 64-bit aHash from the
+      // decoded-pixel fixture with the same exact-integer spec — luma
+      // ⌊(299r+587g+114b)/1000⌋ per source pixel, 8×8 area-average
+      // cells via floor(x*8/w), per-cell ⌊Σ/count⌋, threshold at
+      // ⌊Σgray/64⌋, bit i per row-major cell (bit 63 = signed min to
+      // stay in BIGINT). Payloads are square (side = sqrt(len/3), same
+      // derivation as qf_image_features); failed decodes hash to 0.
+      "qf_phash_compute" ->
+        s"""WITH d AS (SELECT image_id,
+           |    CAST(decode_ok AS INTEGER) AS decode_ok, pixels,
+           |    CAST(round(sqrt(len(pixels) / 3)) AS BIGINT) AS side
+           |  FROM read_parquet('$dpx')),
+           |u AS (SELECT image_id, side, unnest(pixels) AS v,
+           |    generate_subscripts(pixels, 1) AS i FROM d),
+           |px AS (SELECT image_id, side, (i - 1) // 3 AS pi,
+           |    SUM(CASE WHEN (i - 1) % 3 = 0 THEN 299 * v
+           |             WHEN (i - 1) % 3 = 1 THEN 587 * v
+           |             ELSE 114 * v END) // 1000 AS luma
+           |  FROM u GROUP BY 1, 2, 3),
+           |cv AS (SELECT image_id,
+           |    ((pi // side) * 8 // side) * 8 + ((pi % side) * 8 // side) AS cell,
+           |    SUM(luma) // COUNT(*) AS gray
+           |  FROM px GROUP BY 1, 2),
+           |mn AS (SELECT image_id, SUM(gray) // 64 AS mean FROM cv GROUP BY 1),
+           |ph AS (SELECT c.image_id,
+           |    CAST(SUM(CASE WHEN c.gray > m.mean THEN
+           |        CASE WHEN c.cell = 63 THEN -9223372036854775807 - 1
+           |             ELSE (CAST(1 AS BIGINT) << CAST(c.cell AS INTEGER)) END
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cv c JOIN mn m USING (image_id) GROUP BY 1)
+           |SELECT d.image_id, CAST(COALESCE(ph.phash, 0) AS BIGINT) AS phash,
+           |  d.decode_ok
+           |FROM d LEFT JOIN ph USING (image_id)
+           |ORDER BY d.image_id""".stripMargin,
+      // Exact-integer resize: recompute every 8×8 output channel from
+      // the decoded-pixel fixture — pixel (i-1)//3 lands in cell
+      // (y*8//side)*8 + (x*8//side), per-cell per-channel ⌊Σ/count⌋
+      // (same area-average spec as Multimodal.resizePixelsScalar).
+      "qf_image_resize" ->
+        s"""WITH d AS (SELECT image_id, pixels,
+           |    CAST(round(sqrt(len(pixels) / 3)) AS BIGINT) AS side
+           |  FROM read_parquet('$dpx') WHERE decode_ok),
+           |u AS (SELECT image_id, side, unnest(pixels) AS v,
+           |    generate_subscripts(pixels, 1) AS i FROM d),
+           |cv AS (SELECT image_id,
+           |    ((i - 1) // 3 // side * 8 // side) * 8
+           |      + ((i - 1) // 3 % side * 8 // side) AS cell,
+           |    (i - 1) % 3 AS ch,
+           |    SUM(v) // COUNT(*) AS avg
+           |  FROM u GROUP BY 1, 2, 3)
+           |SELECT image_id, CAST(cell AS BIGINT) AS cell,
+           |  CAST(MAX(CASE WHEN ch = 0 THEN avg END) AS INTEGER) AS r,
+           |  CAST(MAX(CASE WHEN ch = 1 THEN avg END) AS INTEGER) AS g,
+           |  CAST(MAX(CASE WHEN ch = 2 THEN avg END) AS INTEGER) AS b
+           |FROM cv GROUP BY 1, 2
+           |ORDER BY image_id, cell""".stripMargin,
       // Cluster-rule support: DuckDB re-evaluates every structured rule
       // (conjunct table, full-precision thresholds — no arithmetic, only
       // comparisons on identical parquet doubles) against the labeled

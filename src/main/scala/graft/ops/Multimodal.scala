@@ -28,6 +28,9 @@ object Multimodal {
 
   final case class ResizedImage(image_id: String, bytes: Array[Byte], w: Int, h: Int)
 
+  final case class ResizedPixels(
+      image_id: String, decode_ok: Boolean, w: Int, h: Int, pixels: Array[Int])
+
   final case class AudioFeatures(id: String, n_windows: Int, rms: Array[Double])
 
   final case class VideoFrames(id: String, frame_idx: Int, frame: Array[Byte])
@@ -146,8 +149,8 @@ object Multimodal {
   }
 
   /** Perceptual hash computed from the ACTUAL pixels (average-hash /
-    * aHash): decode → bilinear resize to 8×8 → grayscale → threshold at
-    * the mean → 64-bit fingerprint. Small pixel perturbations (lossy
+    * aHash): decode → exact-integer 8×8 area average → grayscale →
+    * threshold at the mean → 64-bit fingerprint. Small pixel perturbations (lossy
     * re-encode, mild noise) flip few bits; unrelated images land ~32
     * bits apart — the input-side producer for the `phash` column the
     * banding dedup consumes ([[graft.discovery.PhashDup]]) when a table
@@ -171,34 +174,64 @@ object Multimodal {
 
   /** 8×8 average-hash of a decoded image (scalar; see [[computePhash]]). */
   def phash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        px(i) = (p >> 16) & 0xff
+        px(i + 1) = (p >> 8) & 0xff
+        px(i + 2) = p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    phashFromPixels(px, w, h)
+  }
+
+  /** aHash core over raw r,g,b channels (row-major, as [[decodePixels]]
+    * emits): exact-integer area average into the 8×8 grid — source pixel
+    * (x, y) lands in cell (x*8/w, y*8/h); per-cell gray = ⌊Σluma/count⌋
+    * with ITU-R 601 integer luma ⌊(299r+587g+114b)/1000⌋; bit i set when
+    * cell i's gray exceeds ⌊Σgray/64⌋. Deliberately NOT Graphics2D:
+    * rendered interpolation can differ across Java2D pipelines, and a
+    * banding dedup whose signatures must compare equal ACROSS executors
+    * on a heterogeneous cluster needs bit-identical hashes everywhere —
+    * and the pure-integer spec lets an independent engine recompute the
+    * hash relationally (qf_phash_compute oracle). */
+  def phashFromPixels(px: Array[Int], w: Int, h: Int): Long = {
     val side = 8
-    val small = new java.awt.image.BufferedImage(side, side,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g2 = small.createGraphics()
-    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-    g2.drawImage(img, 0, 0, side, side, null)
-    g2.dispose()
-    val gray = new Array[Int](side * side)
+    val sums = new Array[Long](side * side)
+    val counts = new Array[Long](side * side)
+    var pi = 0
+    val n = w * h
+    while (pi < n) {
+      val luma = (299 * px(pi * 3) + 587 * px(pi * 3 + 1) +
+        114 * px(pi * 3 + 2)) / 1000
+      val cell = (pi / w * side / h) * side + (pi % w * side / w)
+      sums(cell) += luma
+      counts(cell) += 1
+      pi += 1
+    }
+    val gray = new Array[Long](side * side)
     var i = 0
-    var sum = 0L
+    var total = 0L
     while (i < side * side) {
-      val p = small.getRGB(i % side, i / side)
-      // ITU-R 601 luma, integer arithmetic
-      val y = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-        114 * (p & 0xff)) / 1000
-      gray(i) = y
-      sum += y
+      gray(i) = if (counts(i) == 0) 0L else sums(i) / counts(i)
+      total += gray(i)
       i += 1
     }
-    val mean = sum / (side * side)
-    var h = 0L
+    val mean = total / (side * side)
+    var hash = 0L
     i = 0
     while (i < side * side) {
-      if (gray(i) > mean) h |= (1L << i)
+      if (gray(i) > mean) hash |= (1L << i)
       i += 1
     }
-    h
+    hash
   }
 
   /** Real resize (Graphics2D bilinear) + re-encode to PNG. */
@@ -224,6 +257,89 @@ object Multimodal {
               Some(ResizedImage(id, baos.toByteArray, outW, outH))
             }
           } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Exact-integer area-average resize over raw r,g,b channels
+    * (row-major, as [[decodePixels]] emits): source pixel (x, y) lands
+    * in cell (x*outW/w, y*outH/h); each output channel is ⌊Σ/count⌋
+    * over its cell. Same renderer-independence rationale as
+    * [[phashFromPixels]]: Graphics2D's rendered interpolation can
+    * differ across Java2D pipelines, so any downstream op whose values
+    * must compare equal ACROSS executors on a heterogeneous cluster
+    * (dedup signatures, cached feature grids) needs a pure-integer
+    * spec — which also lets an independent engine recompute every
+    * output pixel relationally (qf_image_resize oracle). Downscale
+    * path: cells a pure upscale never touches stay 0. */
+  def resizePixelsScalar(px: Array[Int], w: Int, h: Int,
+      outW: Int, outH: Int): Array[Int] = {
+    val cells = outW * outH
+    val sums = new Array[Long](cells * 3)
+    val counts = new Array[Long](cells)
+    var pi = 0
+    val n = w * h
+    while (pi < n) {
+      val cell = (pi / w * outH / h) * outW + (pi % w * outW / w)
+      sums(cell * 3) += px(pi * 3)
+      sums(cell * 3 + 1) += px(pi * 3 + 1)
+      sums(cell * 3 + 2) += px(pi * 3 + 2)
+      counts(cell) += 1
+      pi += 1
+    }
+    val out = new Array[Int](cells * 3)
+    var c = 0
+    while (c < cells) {
+      if (counts(c) > 0) {
+        out(c * 3) = (sums(c * 3) / counts(c)).toInt
+        out(c * 3 + 1) = (sums(c * 3 + 1) / counts(c)).toInt
+        out(c * 3 + 2) = (sums(c * 3 + 2) / counts(c)).toInt
+      }
+      c += 1
+    }
+    out
+  }
+
+  /** Distributed exact-integer resize: decode → [[resizePixelsScalar]]
+    * per row, partition-parallel like every codec op here. Corrupt
+    * payloads yield decode_ok=false with an empty array, never a task
+    * failure. The Graphics2D + PNG re-encode path ([[resizeImages]])
+    * stays for byte-payload outputs; this one is the deterministic
+    * feature-grid path. */
+  def resizePixels(images: DataFrame, outW: Int, outH: Int,
+      idCol: String = "image_id",
+      bytesCol: String = "bytes"): Dataset[ResizedPixels] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) ResizedPixels(id, decode_ok = false, outW, outH, Array.empty)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val px = new Array[Int](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  val i = (y * w + x) * 3
+                  px(i) = (p >> 16) & 0xff
+                  px(i + 1) = (p >> 8) & 0xff
+                  px(i + 2) = p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              ResizedPixels(id, decode_ok = true, outW, outH,
+                resizePixelsScalar(px, w, h, outW, outH))
+            }
+          } catch {
+            case _: Exception =>
+              ResizedPixels(id, decode_ok = false, outW, outH, Array.empty)
+          }
         }
       }
   }

@@ -259,6 +259,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: exact-integer resize matches hand-computed cell means") {
+    // 4×4 → 2×2: each output cell averages a 2×2 source block exactly.
+    val px = new Array[Int](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val i = (y * 4 + x) * 3
+      px(i) = y * 40 + x * 10       // r: varies by position
+      px(i + 1) = 200 - y * 3       // g: varies by row
+      px(i + 2) = 7                 // b: constant
+    }
+    val out = Multimodal.resizePixelsScalar(px, 4, 4, 2, 2)
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val rs = for (y <- cy * 2 until cy * 2 + 2; x <- cx * 2 until cx * 2 + 2)
+        yield (y * 40 + x * 10).toLong
+      val gs = for (y <- cy * 2 until cy * 2 + 2; _ <- 0 until 2)
+        yield (200 - y * 3).toLong
+      val c = (cy * 2 + cx) * 3
+      assert(out(c) == (rs.sum / 4).toInt, s"cell ($cy,$cx) r")
+      assert(out(c + 1) == (gs.sum / 4).toInt, s"cell ($cy,$cx) g")
+      assert(out(c + 2) == 7, s"cell ($cy,$cx) b")
+    }
+    // Distributed path decodes real payloads; corrupt bytes are safe.
+    val imgs = ImageGen.images(spark, cfg.copy(n = 20L, withBytes = true))
+    val rp = Multimodal.resizePixels(imgs, 8, 8).collect()
+    assert(rp.length == 20 && rp.forall(r =>
+      !r.decode_ok || r.pixels.length == 8 * 8 * 3))
+    assert(rp.count(_.decode_ok) > 0)
+    val bad = Seq(("bad", Array[Byte](9, 9))).toDF("image_id", "bytes")
+    val badRow = Multimodal.resizePixels(bad, 8, 8).collect().head
+    assert(!badRow.decode_ok && badRow.pixels.isEmpty)
+  }
+
   test("pixel phash: stable under lossy re-encode, far for unrelated images") {
     def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
