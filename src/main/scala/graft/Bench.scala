@@ -550,6 +550,7 @@ object Bench {
       "images_per_sec_low", "images_per_sec_high", "scaling_weather",
       "scaling_sample_failures", "scaling_mode", "minhash_docs_per_sec",
       "simhash_docs_per_sec", "ngram_docs_per_sec", "cosdup_docs_per_sec",
+      "phash_docs_per_sec",
       "ann_brute_sec", "ann_lsh_sec", "queries_weather", "dedup_weather",
       "queries_pass2_n")
     def flushFinal(): Unit = {
@@ -753,6 +754,21 @@ object Bench {
       guarded("simhash")(emitRate("simhash", dedupN,
         floorN(graft.ops.Dedup.simhashPairs(dedupImages, "image_id", "caption").count(): Unit)))
       dedupImages.unpersist(blocking = true)
+      // North-rule image-side input op: real ImageIO decode → exact-
+      // integer aHash (Multimodal.computePhash) — the producer of the
+      // phash column the banding dedup consumes when a table arrives
+      // without precomputed hashes. Generation (PNG/JPEG encode) is
+      // cached + counted OUTSIDE the timed window; the row measures
+      // decode+hash only.
+      val phashN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PHASH_ROWS", "100000").toLong
+      val phashImages = ImageGen.images(spark,
+        GenConfig(n = phashN, parts = 128, withBytes = true)).cache()
+      phashImages.count()
+      fields("phash_rows") = phashN.toString
+      guarded("phash")(emitRate("phash", phashN,
+        floorN(graft.ops.Multimodal.computePhash(phashImages)
+          .filter(col("decode_ok")).count(): Unit)))
+      phashImages.unpersist(blocking = true)
       // n-gram Jaccard verifies EVERY band candidate exactly (no
       // signature pruning) — inherently the most expensive family
       // member, so its row count is budgeted separately (57 s/run at
