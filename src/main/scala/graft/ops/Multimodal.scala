@@ -17,6 +17,56 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Executor-side decode tuned for high-throughput scans. Plain
+    * `ImageIO.read` per row (a) searches the plugin registry on every
+    * call and (b) by default spools the input through a DISK-backed
+    * cache file — one temp-file create/delete per image, the dominant
+    * decode cost on this box's virtio disk and an anti-pattern on a
+    * 1000-executor cluster (local-disk churn for bytes that already
+    * sit in memory). This helper (1) switches ImageIO to memory-cached
+    * streams once per JVM and (2) reuses one reader per
+    * (thread, format) — readers are not thread-safe, so the cache is
+    * thread-local: one instance per executor task thread, not per row.
+    * Unsniffable payloads fall back to plain `ImageIO.read`; corrupt
+    * payload semantics are unchanged (null or exception, which every
+    * caller already maps to decode_ok=false). */
+  private val imageioMemoryOnly: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false); true
+  }
+  private val readerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue(): java.util.HashMap[String, javax.imageio.ImageReader] =
+        new java.util.HashMap()
+    }
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 0x50 &&
+      b(2) == 0x4e && b(3) == 0x47) "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) "bmp"
+    else null
+
+  def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    assert(imageioMemoryOnly) // ties the one-time setUseCache(false) to first use
+    val fmt = sniffFormat(bytes)
+    if (fmt == null)
+      return javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val cache = readerCache.get()
+    var r = cache.get(fmt)
+    if (r == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext)
+        return javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      r = it.next()
+      cache.put(fmt, r)
+    }
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      r.setInput(iis, true, true)
+      r.read(0)
+    } finally iis.close()
+  }
+
   final case class ImageFeatures(
       image_id: String,
       decode_ok: Boolean,
@@ -62,8 +112,8 @@ object Multimodal {
   }
 
   def psnrBytes(a: Array[Byte], b: Array[Byte]): Double = {
-    val ia = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
-    val ib = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val ia = decodeImage(a)
+    val ib = decodeImage(b)
     psnr(ia, ib)
   }
 
@@ -77,7 +127,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val img = decodeImage(bytes)
             if (img == null) ImageFeatures(id, decode_ok = false, 0, 0, 0, 0, 0)
             else {
               var r = 0L; var g = 0L; var b = 0L
@@ -121,7 +171,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val img = decodeImage(bytes)
             if (img == null) DecodedPixels(id, decode_ok = false, Array.empty)
             else {
               val w = img.getWidth; val h = img.getHeight
@@ -164,7 +214,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val img = decodeImage(bytes)
             if (img == null) PhashRow(id, 0L, decode_ok = false)
             else PhashRow(id, phash64(img), decode_ok = true)
           } catch { case _: Exception => PhashRow(id, 0L, decode_ok = false) }
@@ -242,7 +292,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val img = decodeImage(bytes)
             if (img == null) None
             else {
               val out = new java.awt.image.BufferedImage(outW, outH,
@@ -315,7 +365,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val img = decodeImage(bytes)
             if (img == null) ResizedPixels(id, decode_ok = false, outW, outH, Array.empty)
             else {
               val w = img.getWidth; val h = img.getHeight
