@@ -67,6 +67,34 @@ object Multimodal {
     } finally iis.close()
   }
 
+  /** Encode-side twin of [[decodeImage]]: one writer per
+    * (thread, format), memory-cached output stream, default write
+    * params — byte-identical to `ImageIO.write(img, fmt, stream)`,
+    * minus its per-call writer lookup and disk-backed output spool. */
+  private val writerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue(): java.util.HashMap[String, javax.imageio.ImageWriter] =
+        new java.util.HashMap()
+    }
+  def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    assert(imageioMemoryOnly)
+    val cache = writerCache.get()
+    var w = cache.get(fmt)
+    if (w == null) {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+      require(it.hasNext, s"no ImageIO writer for format $fmt")
+      w = it.next()
+      cache.put(fmt, w)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      w.setOutput(ios)
+      w.write(img)
+    } finally ios.close() // flushes the cached bytes into baos
+    baos.toByteArray
+  }
+
   final case class ImageFeatures(
       image_id: String,
       decode_ok: Boolean,
@@ -302,9 +330,7 @@ object Multimodal {
                 java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
               g2.drawImage(img, 0, 0, outW, outH, null)
               g2.dispose()
-              val baos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(out, "png", baos)
-              Some(ResizedImage(id, baos.toByteArray, outW, outH))
+              Some(ResizedImage(id, encodeImage(out, "png"), outW, outH))
             }
           } catch { case _: Exception => None }
         }

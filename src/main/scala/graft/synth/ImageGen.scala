@@ -251,14 +251,12 @@ object ImageGen {
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
     val codec = fmt match {
       case "jpeg" => "jpg"
       case "bmp" => "bmp"
       case _ => "png"
     }
-    javax.imageio.ImageIO.write(img, codec, baos)
-    baos.toByteArray
+    graft.ops.Multimodal.encodeImage(img, codec)
   }
 
   /** Pixel side length of every encoded payload (see [[encodeImage]]). */
