@@ -53,18 +53,30 @@ object Multimodal {
     val cache = readerCache.get()
     var r = cache.get(fmt)
     if (r == null) {
-      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
-      if (!it.hasNext)
-        return javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      r = it.next()
-      cache.put(fmt, r)
+      // Select by CONTENT exactly like ImageIO.read (first reader that
+      // claims the stream), not by format name: on a JVM with
+      // third-party ImageIO plugins registered, name-lookup order can
+      // differ from sniff order and silently pick a different decoder
+      // per executor.
+      val probe = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val it = javax.imageio.ImageIO.getImageReaders(probe)
+        if (!it.hasNext)
+          return javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        r = it.next()
+        cache.put(fmt, r)
+      } finally probe.close()
     }
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       r.setInput(iis, true, true)
       r.read(0)
-    } finally iis.close()
+    } finally {
+      r.reset() // drop the input reference: a cached reader must not pin
+      iis.close() // this row's payload for the executor thread's lifetime
+    }
   }
 
   /** Encode-side twin of [[decodeImage]]: one writer per
@@ -91,8 +103,31 @@ object Multimodal {
     try {
       w.setOutput(ios)
       w.write(img)
-    } finally ios.close() // flushes the cached bytes into baos
+    } finally {
+      w.reset() // same payload-pinning hygiene as decodeImage
+      ios.close() // flushes the cached bytes into baos
+    }
     baos.toByteArray
+  }
+
+  /** Flat r,g,b channels (row-major) of a decoded image via ONE bulk
+    * getRGB pass (single ColorModel dispatch instead of w*h virtual
+    * calls) — shared by [[decodePixels]], [[phash64]] and
+    * [[resizePixels]] so the channel layout can never desynchronize
+    * between the decoded-pixel fixture and its consumers. */
+  def pixelChannels(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val packed = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Int](w * h * 3)
+    var i = 0
+    while (i < packed.length) {
+      val p = packed(i)
+      out(i * 3) = (p >> 16) & 0xff
+      out(i * 3 + 1) = (p >> 8) & 0xff
+      out(i * 3 + 2) = p & 0xff
+      i += 1
+    }
+    out
   }
 
   final case class ImageFeatures(
@@ -158,17 +193,14 @@ object Multimodal {
             val img = decodeImage(bytes)
             if (img == null) ImageFeatures(id, decode_ok = false, 0, 0, 0, 0, 0)
             else {
-              var r = 0L; var g = 0L; var b = 0L
               val w = img.getWidth; val h = img.getHeight
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-                  x += 1
-                }
-                y += 1
+              val packed = img.getRGB(0, 0, w, h, null, 0, w)
+              var r = 0L; var g = 0L; var b = 0L
+              var i = 0
+              while (i < packed.length) {
+                val p = packed(i)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                i += 1
               }
               val n = (w.toLong * h).toDouble
               ImageFeatures(id, decode_ok = true, w, h, r / n, g / n, b / n)
@@ -201,24 +233,7 @@ object Multimodal {
           try {
             val img = decodeImage(bytes)
             if (img == null) DecodedPixels(id, decode_ok = false, Array.empty)
-            else {
-              val w = img.getWidth; val h = img.getHeight
-              val out = new Array[Int](w * h * 3)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  val i = (y * w + x) * 3
-                  out(i) = (p >> 16) & 0xff
-                  out(i + 1) = (p >> 8) & 0xff
-                  out(i + 2) = p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              DecodedPixels(id, decode_ok = true, out)
-            }
+            else DecodedPixels(id, decode_ok = true, pixelChannels(img))
           } catch {
             case _: Exception => DecodedPixels(id, decode_ok = false, Array.empty)
           }
@@ -251,24 +266,8 @@ object Multimodal {
   }
 
   /** 8×8 average-hash of a decoded image (scalar; see [[computePhash]]). */
-  def phash64(img: java.awt.image.BufferedImage): Long = {
-    val w = img.getWidth; val h = img.getHeight
-    val px = new Array[Int](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        val i = (y * w + x) * 3
-        px(i) = (p >> 16) & 0xff
-        px(i + 1) = (p >> 8) & 0xff
-        px(i + 2) = p & 0xff
-        x += 1
-      }
-      y += 1
-    }
-    phashFromPixels(px, w, h)
-  }
+  def phash64(img: java.awt.image.BufferedImage): Long =
+    phashFromPixels(pixelChannels(img), img.getWidth, img.getHeight)
 
   /** aHash core over raw r,g,b channels (row-major, as [[decodePixels]]
     * emits): exact-integer area average into the 8×8 grid — source pixel
@@ -393,25 +392,9 @@ object Multimodal {
           try {
             val img = decodeImage(bytes)
             if (img == null) ResizedPixels(id, decode_ok = false, outW, outH, Array.empty)
-            else {
-              val w = img.getWidth; val h = img.getHeight
-              val px = new Array[Int](w * h * 3)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  val i = (y * w + x) * 3
-                  px(i) = (p >> 16) & 0xff
-                  px(i + 1) = (p >> 8) & 0xff
-                  px(i + 2) = p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              ResizedPixels(id, decode_ok = true, outW, outH,
-                resizePixelsScalar(px, w, h, outW, outH))
-            }
+            else ResizedPixels(id, decode_ok = true, outW, outH,
+              resizePixelsScalar(pixelChannels(img),
+                img.getWidth, img.getHeight, outW, outH))
           } catch {
             case _: Exception =>
               ResizedPixels(id, decode_ok = false, outW, outH, Array.empty)
