@@ -65,12 +65,17 @@ object PipelineCache {
 }
 
 /** Queries over the synthetic image+caption pipeline — the engine's
-  * flagship operators. Most are rows-only (non-SQL-expressible; the
-  * driver records a rows-only check), but the phash-banding pair/cluster
-  * queries and brute-force ANN are oracle-checked: the deterministic
-  * (image_id, phash) fixture is written to parquet during Verify and the
-  * DuckDB oracle recomputes pairs O(n²) / clusters via recursive
-  * reachability over it. */
+  * flagship operators. EVERY query here is DuckDB-oracle-checked via
+  * the fixture pattern: deterministic inputs (and, where the engine's
+  * result is model- or codec-derived, the engine's own intermediate
+  * outputs) are written to parquet during Verify, and the oracle SQL
+  * recomputes the result from them relationally — O(n²) pair joins vs
+  * the banding ops, recursive CTEs vs the cluster closures, exact
+  * similarity recomputed per emitted pair for the signature dedups,
+  * regex/scrub chains re-run per raw caption, windowed RMS and frame
+  * slicing rebuilt from exploded payload bytes. Fixture-pattern checks
+  * are one-sided where noted per query (the fixture itself is
+  * spec-tested, the aggregation over it engine-verified). */
 object PipelineQueries {
 
   private val N = 2000L
@@ -223,6 +228,23 @@ object PipelineQueries {
         .coalesce(1).write.mode("overwrite").parquet(expectedPixelsFixturePath)
     }
   }
+
+  /** Exploded media-byte fixture `(id, i, v)` for the stub-codec
+    * oracles: [[graft.ops.Multimodal.explodeBytes]] over the same
+    * 50-row withBytes table qf_audio_rms / qf_video_frames consume.
+    * The byte→signed-int extraction itself is spec-tested against a
+    * known payload (OpsSpec); DuckDB then recomputes the windowed RMS
+    * and the every-5th frame slicing relationally from these rows —
+    * the same one-sided honesty label as the other fixture oracles. */
+  private[graft] def mediaBytesFixturePath: String =
+    new java.io.File("target/verify-fixtures/media_bytes.parquet").getAbsolutePath
+  private def writeMediaBytesFixture(s: SparkSession): Unit =
+    writeOnce(mediaBytesFixturePath) {
+      graft.ops.Multimodal.explodeBytes(
+        ImageGen.images(s, PipelineCache.genCfg(50L).copy(withBytes = true)),
+        "image_id", "bytes")
+        .coalesce(1).write.mode("overwrite").parquet(mediaBytesFixturePath)
+    }
 
   /** Cluster-rule verification fixtures: the engine's structured rules
     * (tree leaves as conjunct lists with FULL-precision thresholds), the
@@ -624,20 +646,38 @@ object PipelineQueries {
         .orderBy("image_id", "cell")
     }),
 
-    // Multimodal: frame-sampling plumbing (stubbed codec — see Multimodal)
+    // Multimodal: frame-sampling plumbing (stubbed codec — see
+    // Multimodal). Hash-checked via the exploded-byte fixture: each
+    // emitted frame is reduced to (frame_idx, n_bytes, signed byte sum)
+    // and DuckDB recomputes the every-5th 256-byte slicing + checksum
+    // from the (id, i, v) rows — the slicing arithmetic is verified by
+    // an independent engine; only the stub byte→"frame" identity is the
+    // spec-tested half.
     "qf_video_frames" -> ((s, _) => {
+      writeMediaBytesFixture(s)
       val imgs = ImageGen.images(s, PipelineCache.genCfg(50L).copy(withBytes = true))
-      graft.ops.Multimodal.videoFrameSample(imgs, "image_id", "bytes").toDF()
-        .select(col("id"), col("frame_idx"), length(col("frame")).as("n_bytes"))
+      val spark = s
+      import spark.implicits._
+      graft.ops.Multimodal.videoFrameSample(imgs, "image_id", "bytes")
+        .map(f => (f.id, f.frame_idx, f.frame.length,
+          { var acc = 0L; var i = 0
+            while (i < f.frame.length) { acc += f.frame(i); i += 1 }
+            acc }))
+        .toDF("id", "frame_idx", "n_bytes", "byte_sum")
         .orderBy("id", "frame_idx")
     }),
 
-    // Multimodal: windowed-RMS plumbing (stubbed codec)
+    // Multimodal: windowed-RMS plumbing (stubbed codec). Hash-checked
+    // via the same fixture: per-window RMS is exact-integer arithmetic
+    // until one correctly-rounded sqrt (sum of v² is an exact-integer
+    // double, /256 is a power-of-two scale), so Spark's and DuckDB's
+    // doubles agree bit-for-bit with no rounding grid needed.
     "qf_audio_rms" -> ((s, _) => {
+      writeMediaBytesFixture(s)
       val imgs = ImageGen.images(s, PipelineCache.genCfg(50L).copy(withBytes = true))
       graft.ops.Multimodal.audioFeatures(imgs, "image_id", "bytes").toDF()
-        .select(col("id"), col("n_windows"))
-        .orderBy("id")
+        .select(col("id"), posexplode(col("rms")).as(Seq("w", "rms")))
+        .orderBy("id", "w")
     }),
 
     // §2.7: Structured Streaming as a driver-contract surface — a real
@@ -693,7 +733,12 @@ object PipelineQueries {
         .orderBy("window_start")
     }),
 
-    // M9–M13: cluster the faulty rows + per-cluster decision-tree rules
+    // M9–M13: cluster the faulty rows + per-cluster decision-tree rules.
+    // Hash-checked: DuckDB rebuilds every rendered rule STRING from the
+    // conjunct fixture (printf %.4f + string_agg in conjunct order + the
+    // IF/THEN frame) — the rendering itself is now engine-verified; the
+    // tree FIT stays model-driven, its leaf structure and support counts
+    // verified by qf_cluster_rule_support.
     "qf_cluster_rules" -> ((s, _) => {
       writeClusterRuleFixtures(s)
       s.read.parquet(clusterRulesFixturePath)
@@ -767,6 +812,7 @@ object PipelineQueries {
     val clb = clusterLabeledFixturePath.replace("'", "''") + "/*.parquet"
     val crl = clusterRulesFixturePath.replace("'", "''") + "/*.parquet"
     val ccj = clusterConjunctsFixturePath.replace("'", "''") + "/*.parquet"
+    val mbx = mediaBytesFixturePath.replace("'", "''") + "/*.parquet"
     // Shared SQL shape for the ANN recall oracles: brute-force top-5 by
     // (cos DESC, vec_id) recomputed from raw vectors, intersected with
     // the engine's written top-k fixture, zero-hit queries kept.
@@ -1041,6 +1087,48 @@ object PipelineQueries {
            |FROM read_parquet('$crl') r LEFT JOIN c USING (cluster_id, rule_id)
            |ORDER BY r.cluster_id, r.rule_id""".stripMargin
       },
+      // Rebuild every rendered rule STRING from the conjunct fixture:
+      // printf('%.4f') and Scala's f"%.4f" cannot disagree because no
+      // binary double lands exactly on a 1e-4 decimal tie (5e-5 has a
+      // factor-5 denominator), so HALF_UP vs round-half-even is moot;
+      // string_agg ORDER BY conj_id reproduces the root-first conjunct
+      // order, and a conjunct-free leaf renders 'always'.
+      "qf_cluster_rules" ->
+        s"""WITH cond AS (
+           |  SELECT cluster_id, rule_id,
+           |    string_agg(printf('%s %s %.4f', feature, op, threshold),
+           |               ' AND ' ORDER BY conj_id) AS cond
+           |  FROM read_parquet('$ccj') GROUP BY cluster_id, rule_id)
+           |SELECT r.cluster_id,
+           |  'IF ' || COALESCE(c.cond, 'always') || ' THEN ' || r.verdict AS rule
+           |FROM read_parquet('$crl') r
+           |LEFT JOIN cond c ON c.cluster_id = r.cluster_id
+           |                AND c.rule_id = r.rule_id
+           |ORDER BY r.cluster_id, rule""".stripMargin,
+      // Recompute the every-5th 256-byte frame slicing + signed-byte
+      // checksum from the exploded media-byte fixture.
+      "qf_video_frames" ->
+        s"""WITH b AS (SELECT * FROM read_parquet('$mbx')),
+           |tot AS (SELECT id, COUNT(*) AS n FROM b GROUP BY id)
+           |SELECT b.id, CAST(b.i // 256 AS INT) AS frame_idx,
+           |  CAST(256 AS INT) AS n_bytes,
+           |  CAST(SUM(b.v) AS BIGINT) AS byte_sum
+           |FROM b JOIN tot ON tot.id = b.id
+           |WHERE b.i < (tot.n // 256) * 256 AND (b.i // 256) % 5 = 0
+           |GROUP BY b.id, b.i // 256
+           |ORDER BY b.id, frame_idx""".stripMargin,
+      // Recompute the windowed RMS from the same fixture: SUM(v*v) is an
+      // exact integer (HUGEINT), /256.0 a power-of-two scale, sqrt
+      // correctly rounded — bit-identical doubles on both engines.
+      "qf_audio_rms" ->
+        s"""WITH b AS (SELECT * FROM read_parquet('$mbx')),
+           |tot AS (SELECT id, COUNT(*) AS n FROM b GROUP BY id)
+           |SELECT b.id, CAST(b.i // 256 AS INT) AS w,
+           |  sqrt(CAST(SUM(CAST(b.v AS BIGINT) * b.v) AS DOUBLE) / 256.0) AS rms
+           |FROM b JOIN tot ON tot.id = b.id
+           |WHERE b.i < (tot.n // 256) * 256
+           |GROUP BY b.id, b.i // 256
+           |ORDER BY b.id, w""".stripMargin,
       "qf_scrub_equality" -> {
         val chain = scrubChainSql("c.caption")
         val xfx = expectedFixturePath.replace("'", "''") + "/*.parquet"

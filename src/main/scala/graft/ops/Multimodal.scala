@@ -444,4 +444,22 @@ object Multimodal {
         }
       }
   }
+
+  /** Binary payload → one row per byte `(id, i, v)` with `v` the SIGNED
+    * byte value — the introspection primitive that lets a relational
+    * engine (or SQL oracle) recompute any byte-stream-derived feature
+    * (windowed RMS, frame slicing, checksums) independently. Partition-
+    * parallel flatMap; a null payload yields no rows. Scale note: this
+    * multiplies row count by payload size — use on bounded samples or
+    * single shards, not a full corpus. */
+  def explodeBytes(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        b.iterator.zipWithIndex.map { case (v, i) => (id, i, v.toInt) }
+      }
+      .toDF("id", "i", "v")
+  }
 }

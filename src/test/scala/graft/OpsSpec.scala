@@ -389,4 +389,32 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.map(_.frame_idx).sorted.sameElements(Array(0, 2)))
     assert(frames.forall(_.frame.length == 256))
   }
+
+  test("multimodal: explodeBytes emits one (id,i,v) row per SIGNED byte") {
+    // payload crosses the signed boundary: 0x7f=127, 0x80=-128, 0xff=-1
+    val payload = Array[Byte](0, 1, 127, -128, -1, 42)
+    val df = Seq(("p", payload), ("empty", Array.emptyByteArray))
+      .toDF("id", "bytes")
+    val rows = Multimodal.explodeBytes(df, "id", "bytes")
+      .orderBy("id", "i")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == payload.zipWithIndex.map {
+      case (v, i) => ("p", i, v.toInt) }.toSeq)
+    // null payload yields no rows (exercised via the empty array here;
+    // null binary goes through the same emptiness guard)
+    assert(!rows.exists(_._1 == "empty"))
+  }
+
+  test("multimodal: windowed RMS matches a scalar recompute per window") {
+    val payload = Array.tabulate(600)(i => ((i * 37 + 11) % 251 - 125).toByte)
+    val df = Seq(("a", payload)).toDF("id", "bytes")
+    val out = Multimodal.audioFeatures(df, "id", "bytes", windowSize = 256)
+      .collect().head
+    assert(out.n_windows == 2)
+    val expect = (0 until 2).map { w =>
+      math.sqrt(payload.slice(w * 256, (w + 1) * 256)
+        .map(b => b.toDouble * b).sum / 256)
+    }
+    assert(out.rms.toSeq == expect, "RMS must be bit-exact vs the scalar spec")
+  }
 }
