@@ -622,6 +622,11 @@ object Bench {
       try { spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit }
       catch { case _: Throwable => () }
       val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      // pass-2-only failures are kept OUT of the primary errors map: a
+      // query with a green pass-1 measurement must not be surfaced as a
+      // failed query just because the optional floor sweep hit a
+      // transient (its floor correctly falls back to the pass-1 time)
+      val errors2 = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val pass1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val failed1 = scala.collection.mutable.Set.empty[String]
@@ -646,11 +651,17 @@ object Bench {
           "\"" + k + "\":" + jn(v, 2) }.mkString("{", ",", "}")
         fields("queries_pass2_n") = pass2.size.toString
         fields("queries_weather") = wsnaps.mkString("[", ",", "]")
-        fields("errors") = errors.map { case (k, v) =>
-          "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-            .replaceAll("[\r\n\t]", " ") + "\""
-        }.mkString("{", ",", "}")
+        def renderErrs(m: scala.collection.mutable.LinkedHashMap[String, String]): String =
+          m.map { case (k, v) =>
+            "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+              .replaceAll("[\r\n\t]", " ") + "\""
+          }.mkString("{", ",", "}")
+        fields("errors") = renderErrs(errors)
         fields("errors_n") = errors.size.toString
+        if (errors2.nonEmpty) {
+          fields("errors_pass2") = renderErrs(errors2)
+          fields("errors_pass2_n") = errors2.size.toString
+        }
         // headline total stays the pass-1 sweep wall (comparable to
         // earlier rounds' single-pass semantics); the floor total rides
         // alongside
@@ -663,6 +674,7 @@ object Bench {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       def sweep(into: scala.collection.mutable.LinkedHashMap[String, Double],
           failedThisPass: scala.collection.mutable.Set[String],
+          errSink: scala.collection.mutable.LinkedHashMap[String, String],
           budgetSec: Double): Unit = {
         val t0 = elapsed
         var i = 0
@@ -672,7 +684,7 @@ object Bench {
             try { fn(spark, sfDir).count() } catch {
               case e: Throwable =>
                 failedThisPass += name
-                errors.getOrElseUpdate(name,
+                errSink.getOrElseUpdate(name,
                   s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"): Unit
             }
             into += name -> (System.nanoTime() - t) / 1e9
@@ -685,11 +697,11 @@ object Bench {
         }
       }
       wsnaps += weatherSnap()
-      sweep(pass1, failed1, 0)
+      sweep(pass1, failed1, errors, 0)
       renderQueries(done = false)
       val pass1Total = pass1.values.sum
       PipelineLoop.reset() // the memoized loop must re-run in pass 2
-      sweep(pass2, failed2, math.max(120.0, pass1Total))
+      sweep(pass2, failed2, errors2, math.max(120.0, pass1Total))
       wsnaps += weatherSnap()
       renderQueries(done = true)
       spark.stop()
@@ -1140,11 +1152,18 @@ object Bench {
               case Some(v) => System.setProperty("graft.bench.aqe", v): Unit
               case None => System.clearProperty("graft.bench.aqe"): Unit
             }
-            // provenance again: if the fallback banked NOTHING, any
-            // samples in the artifact are still the earlier subprocess
-            // leftovers and must not wear the inproc label
-            if (samples.size == samplesBeforeInproc)
+            // provenance again: the inproc label is only honest when the
+            // fallback banked a COMPLETE pair (its ratio then rides under
+            // scaling_ratio_inproc). Zero banked → the samples are still
+            // the earlier subprocess leftovers; ONE banked → a one-sided
+            // inproc sample that can never produce a ratio sits alongside
+            // subprocess leftovers, so the mode stays the leftovers' and
+            // the stray sample is flagged under its own count field.
+            val banked = samples.size - samplesBeforeInproc
+            if (banked < 2) {
               fields("scaling_mode") = modeBeforeInproc
+              if (banked == 1) fields("scaling_inproc_onesided") = "1"
+            }
           }
         }
         if (samples.isEmpty) fields("scaling_mode") = "\"none\""

@@ -1037,6 +1037,10 @@ object PipelineQueries {
       // the decoded-pixel fixture — pixel (i-1)//3 lands in cell
       // (y*8//side)*8 + (x*8//side), per-cell per-channel ⌊Σ/count⌋
       // (same area-average spec as Multimodal.resizePixelsScalar).
+      // The grid CTE emits EVERY 8×8 output cell per decoded image and
+      // LEFT JOINs the source-pixel averages: resizePixelsScalar zero-
+      // fills cells no source pixel maps to (possible when upscaling),
+      // so the oracle must emit those cells as 0 too, not omit them.
       "qf_image_resize" ->
         s"""WITH d AS (SELECT image_id, pixels,
            |    CAST(round(sqrt(len(pixels) / 3)) AS BIGINT) AS side
@@ -1048,13 +1052,17 @@ object PipelineQueries {
            |      + ((i - 1) // 3 % side * 8 // side) AS cell,
            |    (i - 1) % 3 AS ch,
            |    SUM(v) // COUNT(*) AS avg
-           |  FROM u GROUP BY 1, 2, 3)
-           |SELECT image_id, CAST(cell AS BIGINT) AS cell,
-           |  CAST(MAX(CASE WHEN ch = 0 THEN avg END) AS INTEGER) AS r,
-           |  CAST(MAX(CASE WHEN ch = 1 THEN avg END) AS INTEGER) AS g,
-           |  CAST(MAX(CASE WHEN ch = 2 THEN avg END) AS INTEGER) AS b
-           |FROM cv GROUP BY 1, 2
-           |ORDER BY image_id, cell""".stripMargin,
+           |  FROM u GROUP BY 1, 2, 3),
+           |grid AS (SELECT d.image_id, gs.cell
+           |  FROM d, (SELECT UNNEST(range(0, 64)) AS cell) gs)
+           |SELECT gr.image_id, CAST(gr.cell AS BIGINT) AS cell,
+           |  CAST(COALESCE(MAX(CASE WHEN ch = 0 THEN avg END), 0) AS INTEGER) AS r,
+           |  CAST(COALESCE(MAX(CASE WHEN ch = 1 THEN avg END), 0) AS INTEGER) AS g,
+           |  CAST(COALESCE(MAX(CASE WHEN ch = 2 THEN avg END), 0) AS INTEGER) AS b
+           |FROM grid gr LEFT JOIN cv
+           |  ON cv.image_id = gr.image_id AND cv.cell = gr.cell
+           |GROUP BY gr.image_id, gr.cell
+           |ORDER BY gr.image_id, gr.cell""".stripMargin,
       // Cluster-rule support: DuckDB re-evaluates every structured rule
       // (conjunct table, full-precision thresholds — no arithmetic, only
       // comparisons on identical parquet doubles) against the labeled

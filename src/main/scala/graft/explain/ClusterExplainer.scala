@@ -216,7 +216,12 @@ object ClusterExplainer {
     * evaluate this exact double, identically readable by any engine
     * from the parquet fixture). */
   final case class Conjunct(feature: String, op: String, threshold: Double) {
-    def render: String = f"$feature $op $threshold%.4f"
+    // Locale.ROOT, not the f-interpolator: the rendered string is
+    // hash-compared against DuckDB's printf('%.4f') rebuild
+    // (qf_cluster_rules), which always uses '.', while f"%.4f" follows
+    // the JVM default locale and would emit ',' on e.g. de_DE.
+    def render: String = String.format(java.util.Locale.ROOT,
+      "%s %s %.4f", feature, op, Double.box(threshold))
   }
 
   /** One leaf of a trained tree as data: the root-first conjunct path
@@ -277,9 +282,11 @@ object ClusterExplainer {
       k: Int = 4): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    val (rules, labeled) =
-      explainStructured(scored, scoreCols, faultyThreshold, normalThreshold, k)
-    labeled.unpersist()
+    // rules-only path: skip the labeled-union cache + count that only
+    // the structured (oracle-verification) callers consume
+    val rules = structuredCore(
+      scored, scoreCols, faultyThreshold, normalThreshold, k,
+      needLabeled = false)._1
     spark.createDataset(
       rules.map(r => (r.cluster_id, r.rule)).sortBy(identity))
       .toDF("cluster_id", "rule")
@@ -298,7 +305,17 @@ object ClusterExplainer {
       scoreCols: Seq[String],
       faultyThreshold: Double,
       normalThreshold: Double,
-      k: Int = 4): (Seq[ClusterRule], DataFrame) = {
+      k: Int = 4): (Seq[ClusterRule], DataFrame) =
+    structuredCore(scored, scoreCols, faultyThreshold, normalThreshold, k,
+      needLabeled = true)
+
+  private def structuredCore(
+      scored: DataFrame,
+      scoreCols: Seq[String],
+      faultyThreshold: Double,
+      normalThreshold: Double,
+      k: Int,
+      needLabeled: Boolean): (Seq[ClusterRule], DataFrame) = {
     val spark = scored.sparkSession
     import spark.implicits._
     val faulty = scored.filter(col("invalidity_score") >= faultyThreshold).cache()
@@ -334,12 +351,18 @@ object ClusterExplainer {
     val rules = perCluster.flatMap(_._1)
     // Materialize the labeled union BEFORE unpersisting its parents so
     // the returned frame doesn't silently refit upstream on evaluation.
-    val labeledAll = perCluster.map(_._2)
-      .reduceOption(_ unionByName _)
-      .getOrElse(normal.limit(0).select((cols :+ lit(0.0).as("label")): _*)
-        .withColumn("cluster_id", lit(0)))
-      .cache()
-    labeledAll.count(): Unit
+    // Rules-only callers (needLabeled=false) skip the union job entirely
+    // and get an empty placeholder frame (never cached, never counted).
+    val labeledAll =
+      if (needLabeled)
+        perCluster.map(_._2)
+          .reduceOption(_ unionByName _)
+          .getOrElse(normal.limit(0).select((cols :+ lit(0.0).as("label")): _*)
+            .withColumn("cluster_id", lit(0)))
+          .cache()
+      else normal.limit(0).select((cols :+ lit(0.0).as("label")): _*)
+        .withColumn("cluster_id", lit(0))
+    if (needLabeled) labeledAll.count(): Unit
     faulty.unpersist(); normal.unpersist(); clusters.unpersist()
     (rules, labeledAll)
   }

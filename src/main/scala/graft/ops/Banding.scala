@@ -137,11 +137,17 @@ object Banding {
                 var i = 0
                 while (i < ids.length) {
                   // sorted within the run: ids(i) <= id; equal ids can
-                  // only come from duplicate input rows — skip self-pairs
-                  if (ids(i) != id) {
+                  // only come from duplicate input rows — skip self-pairs.
+                  // Length-mismatched vectors are skipped too: the
+                  // candidates-join shape's zip_with null-pads ragged
+                  // arrays into a null cosine that its filter drops, so
+                  // a truncated-prefix dot here would fabricate a pair
+                  // the join shape (and the exact-cosine soundness
+                  // oracle) never emits.
+                  if (ids(i) != id && vecs(i).length == v.length) {
                     val ov = vecs(i)
                     var dot = 0.0; var d = 0
-                    val n = math.min(ov.length, v.length)
+                    val n = v.length
                     while (d < n) { dot += ov(d).toDouble * v(d).toDouble; d += 1 }
                     val denom = norms(i) * nv
                     val cos = if (denom > 0.0) dot / denom else -1.0

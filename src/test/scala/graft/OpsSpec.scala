@@ -390,6 +390,20 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.frame.length == 256))
   }
 
+  test("banding run-scan skips length-mismatched vectors like the join shape") {
+    // the candidates-join shape zip_with-null-pads ragged arrays into a
+    // null cosine its filter drops; the fused scan must not fabricate a
+    // truncated-prefix cosine for such pairs
+    val keyed = Seq(
+      (1L, "a", Array(1.0f, 0.0f, 0.0f)),
+      (1L, "b", Array(1.0f, 0.0f)), // ragged
+      (1L, "c", Array(1.0f, 0.0f, 0.0f))
+    ).toDF("key", "id", "v")
+    val pairs = graft.ops.Banding.cosinePairs(keyed, 16, 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSet == Set(("a", "c")))
+  }
+
   test("multimodal: explodeBytes emits one (id,i,v) row per SIGNED byte") {
     // payload crosses the signed boundary: 0x7f=127, 0x80=-128, 0xff=-1
     val payload = Array[Byte](0, 1, 127, -128, -1, 42)
