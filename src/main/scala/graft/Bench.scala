@@ -33,7 +33,12 @@ import graft.synth.{GenConfig, ImageGen}
   * snapshot, so a contended driver window indicts the machine in the
   * artifact itself instead of having to be inferred from the inflation
   * pattern (round 4's query phase ran 3.1× slow with zero in-artifact
-  * evidence of why). VALIDITY: `scaling_efficiency` is only ever
+  * evidence of why). MACHINE HYGIENE: before anything is measured the
+  * bench reaps dead JVMs' tmpfs scratch, best-effort drops reclaimable
+  * kernel caches + requests compaction (Scratch.dropKernelCaches), and
+  * lets a reclaim-shaped loadavg decay before the first scaling child —
+  * the post-verify lazy-reclaim window (loadavg ≫ 0 with busy ≈ 0) was
+  * the measured cause of one-sided 8-thread-child collapses. VALIDITY: `scaling_efficiency` is only ever
   * emitted from a fresh-subprocess pair and only inside the sanity
   * envelope [0, 1.25]; anything else lands under
   * `scaling_ratio_inproc`/`scaling_efficiency_raw` with the gate field
@@ -509,8 +514,15 @@ object Bench {
       else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(d))
 
     // Machine-state hygiene before anything is measured: reap tmpfs
-    // scratch leaked by dead JVMs (resident RAM), record starting weather.
+    // scratch leaked by dead JVMs (resident RAM), then drop reclaimable
+    // kernel caches + request compaction (best-effort; see
+    // Scratch.dropKernelCaches — the bench typically starts minutes
+    // after a 32-thread verify/test sweep, and lazy reclaim of that
+    // churn was the measured cause of one-sided 8-core child collapses:
+    // runs 10-11 recorded weather 1.64/2.53 with busy≈0, steal 0, zero
+    // sibling JVMs). Record starting weather after both.
     val reapedMb = graft.engine.Scratch.cleanupOrphans() / (1024L * 1024L)
+    val cachesDropped = graft.engine.Scratch.dropKernelCaches()
 
     // Cumulative JSON: ordered field map, re-emitted after every phase /
     // scaling sample. Values are pre-rendered JSON fragments.
@@ -519,7 +531,8 @@ object Bench {
       "queries" -> "{}", "sf" -> ("\"" + sfDir + "\""),
       "phase_completed" -> "\"none\"", "budget_sec" -> jn(budgetSec, 0),
       "env_loadavg_start" -> jn(loadAvg(), 2),
-      "env_scratch_reaped_mb" -> reapedMb.toString)
+      "env_scratch_reaped_mb" -> reapedMb.toString,
+      "env_caches_dropped" -> cachesDropped.toString)
     def render(kvs: Iterable[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def flush(): Unit = {
@@ -999,8 +1012,20 @@ object Bench {
         }
       }
       // the bench typically starts seconds after a 32-thread verify or
-      // test phase — give the FIRST child a quiet box (up to 60 s)
+      // test phase — give the FIRST child a quiet box (up to 60 s),
+      // then additionally let a reclaim-shaped loadavg decay (busy and
+      // steal near zero but loadavg ≫ idle means D-state kernel reclaim
+      // workers, which settleQuiet's busy-fraction probe cannot see; the
+      // 1-min EMA halves in about a minute once the work is done, and
+      // runs 10-11 showed exactly this signature degrade the 8-thread
+      // child). Pre-registered hygiene, never conditioned on measured
+      // pipeline values; cap keeps the wait a bounded budget slice.
       fields("scaling_settle_sec") = jn(settleQuiet(60), 0)
+      val loadTarget = math.max(4.0, cpus / 4.0)
+      val tLoad0 = elapsed
+      while (loadAvg() > loadTarget && elapsed - tLoad0 < 90) Thread.sleep(5000)
+      fields("scaling_settle_load_sec") = jn(elapsed - tLoad0, 0)
+      fields("scaling_loadavg_at_start") = jn(loadAvg(), 2)
       var pairRows = 0L
       val it = ladder.iterator
       while (pairRows == 0L && it.hasNext) {

@@ -85,6 +85,27 @@ object Scratch {
   /** Bytes currently held by the scratch root (tmpfs = resident RAM). */
   def usedBytes(): Long = sizeOf(new java.io.File(root))
 
+  /** Best-effort kernel memory hygiene before a measurement window:
+    * drop reclaimable caches and request compaction, so a freshly
+    * launched child JVM's multi-GiB heap is served from clean free
+    * pages instead of stalling in lazy reclaim / THP compaction —
+    * measured repeatedly on this box as the post-churn failure mode
+    * (loadavg high with busy≈0/steal=0: D-state kernel reclaim, which
+    * degraded the 8-thread scaling child up to 2.5× while the 2-thread
+    * child stayed clean). Needs root + a writable /proc; returns false
+    * (silently) anywhere it isn't, so the bench works unprivileged. */
+  def dropKernelCaches(): Boolean =
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/proc/sys/vm/drop_caches"),
+        "3\n".getBytes("UTF-8"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/proc/sys/vm/compact_memory"),
+        "1\n".getBytes("UTF-8"))
+      catch { case _: Throwable => () } // compaction is optional extra
+      true
+    } catch { case _: Throwable => false }
+
   private def sizeOf(f: java.io.File): Long =
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
     else f.length()
