@@ -737,6 +737,10 @@ object Bench {
     // the floor. A weather snapshot is recorded before every op.
     def dedupPhase(): Unit = {
       settleQuiet(30): Unit
+      // the scaling children just churned and freed tens of GiB; the
+      // single-op throughput rows are the most churn-sensitive numbers
+      // in the artifact (minhash deflated 16× in round 3/4 windows)
+      graft.engine.Scratch.dropKernelCaches(): Unit
       val spark = session(cpus)
       fields("dedup_loadavg") = jn(loadAvg(), 2)
       val dweather = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -952,6 +956,10 @@ object Bench {
         false
       } else {
         settleQuiet(20): Unit // let the previous child's freed pages reclaim
+        // and make that reclaim eager: the previous child just freed a
+        // multi-GiB heap, and run 12 showed pair 2's high side degraded
+        // 1.6× by exactly this churn even after the start-of-run drop
+        graft.engine.Scratch.dropKernelCaches(): Unit
         val load = loadAvg()
         val got = measureLevelSubprocess(c, rows, capEff, passesPerChild)
         got.foreach { case (runs, wall, cpu) =>
