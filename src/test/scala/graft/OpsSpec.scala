@@ -390,6 +390,24 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.frame.length == 256))
   }
 
+  test("multimodal: upscale zero-fills output cells no source pixel maps to") {
+    // 2×2 source into an 8×8 grid: each source pixel lands in exactly
+    // one cell (pi/w*outH/h etc. maps pixel (r,c) to cell (4r,4c)), so
+    // 60 of 64 cells must be zero-filled — the engine/oracle contract
+    // the qf_image_resize grid LEFT JOIN mirrors
+    val px = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val out = Multimodal.resizePixelsScalar(px, 2, 2, 8, 8)
+    assert(out.length == 8 * 8 * 3)
+    val hot = Map(0 -> 0, 4 -> 1, 32 -> 2, 36 -> 3) // cell -> source pixel
+    (0 until 64).foreach { cell =>
+      val exp = hot.get(cell)
+        .map(p => Seq(px(p * 3), px(p * 3 + 1), px(p * 3 + 2)))
+        .getOrElse(Seq(0, 0, 0))
+      assert(Seq(out(cell * 3), out(cell * 3 + 1), out(cell * 3 + 2)) == exp,
+        s"cell $cell")
+    }
+  }
+
   test("banding run-scan skips length-mismatched vectors like the join shape") {
     // the candidates-join shape zip_with-null-pads ragged arrays into a
     // null cosine its filter drops; the fused scan must not fabricate a
