@@ -429,6 +429,26 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Per-side noise floors for the scaling pair, from each side's banked
+    * score passes (in completion order). One-sided asymmetry rule:
+    * reported efficiency is (low/high)/coreRatio, so an extra LOW-side
+    * pass can only LOWER it (min over more numerator samples) while an
+    * extra HIGH-side pass can only RAISE it — therefore the low floor
+    * uses EVERY banked pass, and the high floor is truncated to the
+    * first min(#low, #high) passes. Evidence can never bias the
+    * published number in the favorable direction, yet no clean banked
+    * measurement is discarded: run 14's low child banked [26.47, 19.93]
+    * while the weather-3.11 high child self-budgeted down to one pass
+    * (4.97) — the old symmetric take(k) compared the low side's coldest
+    * pass against the high side and published an impossible 1.331
+    * (nulled by the envelope); the banked 19.93 was the true floor. */
+  private[graft] def scalingFloors(
+      lowScores: Seq[Double], highScores: Seq[Double]): (Double, Double) = {
+    require(lowScores.nonEmpty && highScores.nonEmpty)
+    val k = math.min(lowScores.size, highScores.size)
+    (lowScores.min, highScores.take(k).min)
+  }
+
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
@@ -884,18 +904,17 @@ object Bench {
         val n = samples.map(_.rows).distinct.filter(n =>
           lows.exists(_.rows == n) && highs.exists(_.rows == n)).max
         // PRIMARY estimator (pre-registered, see class doc): per-side
-        // noise floor over an EQUAL number of passes per side (children
-        // self-budget, so one side can complete more passes; truncating
-        // both sides to the first min(nLow, nHigh) passes keeps the
-        // floor symmetric — extra chances on one side would otherwise
-        // bias the ratio). Steal only ADDS time, so min over the fixed
-        // truncated count approximates the clean machine on each side;
-        // the count is never extended based on the value.
+        // noise floor via `scalingFloors` — min over EVERY banked
+        // low-side pass (extra numerator samples can only lower the
+        // reported efficiency, never inflate it) but only the first
+        // min(#low, #high) high-side passes (extra denominator chances
+        // could only raise it). Steal only ADDS time, so the min
+        // approximates the clean machine on each side; pass counts are
+        // never extended based on the value.
         val lowsN = lows.filter(_.rows == n)
         val highsN = highs.filter(_.rows == n)
-        val kEq = math.min(lowsN.size, highsN.size)
-        val bestLow = lowsN.take(kEq).map(_.score).min
-        val bestHigh = highsN.take(kEq).map(_.score).min
+        val (bestLow, bestHigh) =
+          scalingFloors(lowsN.map(_.score).toSeq, highsN.map(_.score).toSeq)
         val eff = (bestLow / bestHigh) / (nHigh.toDouble / nLow)
         // VALIDITY GATE on the driver's key field (round 4 published a
         // physically impossible 25.7 under `scaling_efficiency` via the
