@@ -51,6 +51,34 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("validity verdicts: clean pair publishes, each physically-" +
+      "impossible signature nulls with its own reason") {
+    // clean window (run 12's first pair): publish
+    assert(Bench.scalingInvalidReason(1.002, inproc = false,
+      Some(0.8)).isEmpty)
+    // merely slow window without super-linear proof (runs 11/13):
+    // publish — the gate never cherry-picks
+    assert(Bench.scalingInvalidReason(0.522, inproc = false,
+      Some(1.1)).isEmpty)
+    assert(Bench.scalingInvalidReason(0.662, inproc = false, None).isEmpty)
+    // in-proc is never gate evidence (round 4's 25.7)
+    assert(Bench.scalingInvalidReason(0.9, inproc = true, None)
+      .contains("inproc_fallback_is_not_gate_evidence"))
+    // low side proven broken: 2->8 super-linear (run 14's 1.331)
+    assert(Bench.scalingInvalidReason(1.331, inproc = false, None)
+      .contains("outside_sanity_envelope_0_to_1.25"))
+    // high side proven broken: 8->32 super-linear crosscheck (run 15
+    // measured eff 0.182 with highPair 1.881 — the 8-core score pass
+    // was 3.5x its clean floor while the 2- and 32-core sides were
+    // normal; a falsely-LOW number is still an invalid number)
+    assert(Bench.scalingInvalidReason(0.182, inproc = false, Some(1.881))
+      .contains("high_side_contaminated_max_crosscheck_superlinear"))
+    // NaN anywhere is invalid
+    assert(Bench.scalingInvalidReason(Double.NaN, inproc = false, None).isDefined)
+    assert(Bench.scalingInvalidReason(0.9, inproc = false,
+      Some(Double.NaN)).isDefined)
+  }
+
   test("empty side is rejected (no silent zero-sample floor)") {
     intercept[IllegalArgumentException] {
       Bench.scalingFloors(Seq.empty, Seq(5.0))
