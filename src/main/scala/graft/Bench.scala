@@ -39,11 +39,15 @@ import graft.synth.{GenConfig, ImageGen}
   * lets a reclaim-shaped loadavg decay before the first scaling child —
   * the post-verify lazy-reclaim window (loadavg ≫ 0 with busy ≈ 0) was
   * the measured cause of one-sided 8-thread-child collapses. VALIDITY: `scaling_efficiency` is only ever
-  * emitted from a fresh-subprocess pair and only inside the sanity
-  * envelope [0, 1.25]; anything else lands under
+  * emitted from a fresh-subprocess pair, only inside the sanity
+  * envelope [0, 1.25], and only when the 32-core context sample does
+  * not PROVE the 8-core side contaminated (a super-linear high-vs-max
+  * ratio is physically impossible — see `scalingInvalidReason` for all
+  * three verdicts); anything else lands under
   * `scaling_ratio_inproc`/`scaling_efficiency_raw` with the gate field
   * null and `scaling_invalid_reason` set (round 4's in-proc fallback
-  * published a physically impossible 25.7 under the gate key).
+  * published a physically impossible 25.7 under the gate key; run 15's
+  * broken 8-core child published a falsely-low 0.182).
   *
   * Scaling protocol — PRE-REGISTERED, no outcome-conditioned logic.
   * THE PAIR IS THE UNIT: an (N-core, 4N-core) child pair — low side
@@ -67,11 +71,13 @@ import graft.synth.{GenConfig, ImageGen}
   * replicates the primary size. The full-thread context sample runs
   * LAST (a 32-thread child's churn must never precede evidence).
   * Reported `scaling_efficiency` = per-side NOISE FLOOR ratio
-  * (min scoreLow / min scoreHigh) / (8/2) over an EQUAL truncated pass
-  * count per side, computed over the LARGEST row count holding a
-  * complete pair — hypervisor steal on this box arrives in sub-minute
-  * bursts that only ADD time, so the floor over a FIXED symmetric count
-  * approximates the clean machine on each side; the median per-pair
+  * (min scoreLow / min scoreHigh) / (8/2) via the ONE-SIDED rule in
+  * `scalingFloors` — every banked low pass counts (extras can only
+  * LOWER the reported value), high passes truncate to min(#low,
+  * #high) (extras could only raise it) — computed over the LARGEST
+  * row count holding a complete pair; hypervisor steal on this box
+  * arrives in sub-minute bursts that only ADD time, so the per-side
+  * min approximates the clean machine; the median per-pair
   * ratio and every raw sample (child wall, child CPU seconds, loadavg)
   * are emitted alongside so the estimator is fully inspectable.
   * Sampling stops ONLY on the wall-clock budget
@@ -436,8 +442,9 @@ object Bench {
     * extra HIGH-side pass can only RAISE it — therefore the low floor
     * uses EVERY banked pass, and the high floor is truncated to the
     * first min(#low, #high) passes. Evidence can never bias the
-    * published number in the favorable direction, yet no clean banked
-    * measurement is discarded: run 14's low child banked [26.47, 19.93]
+    * published number in the favorable direction (extra HIGH passes ARE
+    * discarded — that is the point), and no unfavorable banked
+    * measurement is: run 14's low child banked [26.47, 19.93]
     * while the weather-3.11 high child self-budgeted down to one pass
     * (4.97) — the old symmetric take(k) compared the low side's coldest
     * pass against the high side and published an impossible 1.331
@@ -467,14 +474,22 @@ object Bench {
     *    while both the 2- and 32-core sides were normal). A merely slow
     *    window without the super-linear proof still publishes (runs 11
     *    and 13: 0.522 / 0.662) — the protocol never cherry-picks, it
-    *    only refuses numbers its own samples prove invalid. */
+    *    only refuses numbers its own samples prove invalid. A NaN
+    *    crosscheck (degenerate max sample) nulls under its own reason —
+    *    it asserts the crosscheck produced no reading, never a proven
+    *    contamination. */
+  private[graft] val ReasonInproc = "inproc_fallback_is_not_gate_evidence"
+  private[graft] val ReasonEnvelope = "outside_sanity_envelope_0_to_1.25"
+  private[graft] val ReasonMaxCrosscheck =
+    "high_side_contaminated_max_crosscheck_superlinear"
+  private[graft] val ReasonMaxUnreadable = "max_crosscheck_unreadable"
+
   private[graft] def scalingInvalidReason(eff: Double, inproc: Boolean,
       highPairEff: Option[Double]): Option[String] =
-    if (inproc) Some("inproc_fallback_is_not_gate_evidence")
-    else if (eff.isNaN || eff < 0.0 || eff > 1.25)
-      Some("outside_sanity_envelope_0_to_1.25")
-    else if (highPairEff.exists(h => h.isNaN || h > 1.25))
-      Some("high_side_contaminated_max_crosscheck_superlinear")
+    if (inproc) Some(ReasonInproc)
+    else if (eff.isNaN || eff < 0.0 || eff > 1.25) Some(ReasonEnvelope)
+    else if (highPairEff.exists(_.isNaN)) Some(ReasonMaxUnreadable)
+    else if (highPairEff.exists(_ > 1.25)) Some(ReasonMaxCrosscheck)
     else None
 
   def main(args: Array[String]): Unit = {
@@ -609,6 +624,11 @@ object Bench {
       "scaling_rows_used", "scaling_pair_ratios",
       "scaling_efficiency_median_pair", "score_sec_low", "score_sec_high",
       "images_per_sec_low", "images_per_sec_high", "scaling_weather",
+      // the crosscheck proof and the 8-core-independent auxiliary pair
+      // must ride the tail line: a max-crosscheck null is unauditable
+      // without the high-vs-max value that justified it
+      "score_sec_max", "scaling_efficiency_high_pair",
+      "scaling_efficiency_low_max_pair",
       "scaling_sample_failures", "scaling_mode", "minhash_docs_per_sec",
       "simhash_docs_per_sec", "ngram_docs_per_sec", "cosdup_docs_per_sec",
       "phash_docs_per_sec",
@@ -970,8 +990,11 @@ object Bench {
         val mode = fields.getOrElse("scaling_mode", "\"subprocess\"")
         scalingInvalidReason(eff, mode.contains("inproc"), highPair) match {
           case Some(reason) =>
-            if (mode.contains("inproc")) fields("scaling_ratio_inproc") = jn(eff, 3)
-            else fields("scaling_efficiency_raw") = jn(eff, 3)
+            // the reason itself names the raw-value key so the two can
+            // never disagree
+            val rawKey = if (reason == ReasonInproc) "scaling_ratio_inproc"
+              else "scaling_efficiency_raw"
+            fields(rawKey) = jn(eff, 3)
             fields("scaling_efficiency") = "null"
             fields("scaling_invalid_reason") = "\"" + reason + "\""
           case None =>

@@ -73,10 +73,12 @@ class BenchSpec extends AnyFunSuite {
     // normal; a falsely-LOW number is still an invalid number)
     assert(Bench.scalingInvalidReason(0.182, inproc = false, Some(1.881))
       .contains("high_side_contaminated_max_crosscheck_superlinear"))
-    // NaN anywhere is invalid
-    assert(Bench.scalingInvalidReason(Double.NaN, inproc = false, None).isDefined)
+    // NaN anywhere is invalid — and a NaN crosscheck must NOT assert a
+    // proven contamination, only that the crosscheck gave no reading
+    assert(Bench.scalingInvalidReason(Double.NaN, inproc = false, None)
+      .contains(Bench.ReasonEnvelope))
     assert(Bench.scalingInvalidReason(0.9, inproc = false,
-      Some(Double.NaN)).isDefined)
+      Some(Double.NaN)).contains(Bench.ReasonMaxUnreadable))
   }
 
   test("empty side is rejected (no silent zero-sample floor)") {
