@@ -1009,6 +1009,16 @@ object Bench {
         fields("fit_sec_high") = jn(highs.filter(_.rows == n).map(_.fit).min, 2)
         fields("images_per_sec_low") = jn(n / bestLow, 0)
         fields("images_per_sec_high") = jn(n / bestHigh, 0)
+      } else {
+        // no complete pair anywhere (pathological weather exhausted the
+        // ladder AND the fallbacks, or the phase is mid-flight with only
+        // one side banked): the gate key must still be PRESENT and
+        // explicitly null — run 20's artifact omitted it entirely, which
+        // a tail-only consumer cannot distinguish from a bench that
+        // never reached the scaling phase. Overwritten by the real
+        // verdict the moment a pair completes (incremental re-render).
+        fields("scaling_efficiency") = "null"
+        fields("scaling_invalid_reason") = "\"no_complete_pair\""
       }
     }
     // Returns true iff the sample landed. capSec bounds the child's wall
