@@ -229,22 +229,62 @@ object PipelineQueries {
     }
   }
 
-  /** Exploded media-byte fixture `(id, i, v)` for the stub-codec
-    * oracles: [[graft.ops.Multimodal.explodeBytes]] over the same
-    * 50-row withBytes table qf_audio_rms / qf_video_frames consume.
-    * The byte→signed-int extraction itself is spec-tested against a
-    * known payload (OpsSpec); DuckDB then recomputes the windowed RMS
-    * and the every-5th frame slicing relationally from these rows —
-    * the same one-sided honesty label as the other fixture oracles. */
-  private[graft] def mediaBytesFixturePath: String =
-    new java.io.File("target/verify-fixtures/media_bytes.parquet").getAbsolutePath
-  private def writeMediaBytesFixture(s: SparkSession): Unit =
-    writeOnce(mediaBytesFixturePath) {
+  /** Real-codec media fixtures.
+    *
+    * Audio: the exploded WAV CONTAINER bytes `(id, i, v)`
+    * ([[graft.ops.Multimodal.explodeBytes]] over the synthesized
+    * RIFF/WAVE payloads). DuckDB re-derives the sample rate from the
+    * fmt chunk, every little-endian int16 sample from the data chunk,
+    * and the windowed RMS — so the engine's REAL `javax.sound` decode
+    * is verified end to end by an independent engine reading nothing
+    * but the container bytes. The generator emits canonical
+    * 44-byte-header WAVs, so the oracle's sample offset is fixed at 44;
+    * non-canonical chunk layouts (which the engine parser must also
+    * navigate) are spec-tested in MediaCodecSpec.
+    *
+    * Video: the GENERATOR-TRUTH demux table
+    * `(video_id, frame_idx, byte_off, n_bytes)` — the engine has to
+    * rediscover every MJPEG frame boundary from the bytes alone for the
+    * hashes to meet — plus the engine-decoded frame pixels for the
+    * relational phash recompute (same honesty label as
+    * qf_phash_compute: the hash arithmetic is oracle-checked from raw
+    * channels, the ImageIO decode itself is pinned by the PSNR spec). */
+  private val audioN = 40L
+  private val videoN = 20L
+  private[graft] def wavBytesFixturePath: String =
+    new java.io.File("target/verify-fixtures/wav_bytes.parquet").getAbsolutePath
+  private def writeWavBytesFixture(s: SparkSession): Unit =
+    writeOnce(wavBytesFixturePath) {
       graft.ops.Multimodal.explodeBytes(
-        ImageGen.images(s, PipelineCache.genCfg(50L).copy(withBytes = true)),
-        "image_id", "bytes")
-        .coalesce(1).write.mode("overwrite").parquet(mediaBytesFixturePath)
+        graft.synth.MediaGen.audio(s, audioN), "audio_id", "bytes")
+        .coalesce(1).write.mode("overwrite").parquet(wavBytesFixturePath)
     }
+  private[graft] def expectedFramesFixturePath: String =
+    new java.io.File("target/verify-fixtures/expected_frames.parquet").getAbsolutePath
+  private[graft] def framePixelsFixturePath: String =
+    new java.io.File("target/verify-fixtures/frame_pixels.parquet").getAbsolutePath
+  private def writeVideoFixtures(s: SparkSession): Unit = {
+    writeOnce(expectedFramesFixturePath) {
+      graft.synth.MediaGen.expectedFrames(s, videoN)
+        .coalesce(1).write.mode("overwrite").parquet(expectedFramesFixturePath)
+    }
+    writeOnce(framePixelsFixturePath) {
+      val spark = s
+      import spark.implicits._
+      graft.synth.MediaGen.videos(s, videoN)
+        .select(col("video_id"), col("bytes")).as[(String, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val idx = graft.ops.Multimodal.demuxMjpeg(bytes)
+          (0 until idx.length by 2).iterator.map { f =>
+            val (off, len) = idx(f)
+            val img = graft.ops.Multimodal.decodeImage(
+              java.util.Arrays.copyOfRange(bytes, off, off + len))
+            (id, f, graft.ops.Multimodal.pixelChannels(img))
+          }
+        }.toDF("video_id", "frame_idx", "pixels")
+        .coalesce(1).write.mode("overwrite").parquet(framePixelsFixturePath)
+    }
+  }
 
   /** Cluster-rule verification fixtures: the engine's structured rules
     * (tree leaves as conjunct lists with FULL-precision thresholds), the
@@ -646,37 +686,40 @@ object PipelineQueries {
         .orderBy("image_id", "cell")
     }),
 
-    // Multimodal: frame-sampling plumbing (stubbed codec — see
-    // Multimodal). Hash-checked via the exploded-byte fixture: each
-    // emitted frame is reduced to (frame_idx, n_bytes, signed byte sum)
-    // and DuckDB recomputes the every-5th 256-byte slicing + checksum
-    // from the (id, i, v) rows — the slicing arithmetic is verified by
-    // an independent engine; only the stub byte→"frame" identity is the
-    // spec-tested half.
+    // Multimodal: REAL MJPEG demux + ImageIO frame decode
+    // (Multimodal.videoFrames). Hash-checked two ways at once: the
+    // frame extents (byte_off, n_bytes) come from the GENERATOR-TRUTH
+    // demux fixture — the engine's segment-level JPEG parser must
+    // rediscover every boundary from the bytes alone — and the phash is
+    // recomputed relationally by DuckDB from the decoded frame pixels
+    // (the qf_phash_compute pattern; the decode itself is pinned by the
+    // PSNR spec in MediaCodecSpec).
     "qf_video_frames" -> ((s, _) => {
-      writeMediaBytesFixture(s)
-      val imgs = ImageGen.images(s, PipelineCache.genCfg(50L).copy(withBytes = true))
-      val spark = s
-      import spark.implicits._
-      graft.ops.Multimodal.videoFrameSample(imgs, "image_id", "bytes")
-        .map(f => (f.id, f.frame_idx, f.frame.length,
-          { var acc = 0L; var i = 0
-            while (i < f.frame.length) { acc += f.frame(i); i += 1 }
-            acc }))
-        .toDF("id", "frame_idx", "n_bytes", "byte_sum")
+      writeVideoFixtures(s)
+      graft.ops.Multimodal.videoFrames(
+          graft.synth.MediaGen.videos(s, videoN), "video_id", "bytes",
+          every = 2).toDF()
+        .filter(col("decode_ok"))
+        .select(col("id"), col("frame_idx"), col("byte_off"),
+          col("n_bytes"), col("w"), col("h"), col("phash"))
         .orderBy("id", "frame_idx")
     }),
 
-    // Multimodal: windowed-RMS plumbing (stubbed codec). Hash-checked
-    // via the same fixture: per-window RMS is exact-integer arithmetic
-    // until one correctly-rounded sqrt (sum of v² is an exact-integer
-    // double, /256 is a power-of-two scale), so Spark's and DuckDB's
-    // doubles agree bit-for-bit with no rounding grid needed.
+    // Multimodal: REAL WAV decode through the JDK javax.sound codec
+    // (Multimodal.audioRms). Hash-checked from the CONTAINER bytes:
+    // DuckDB re-derives the fmt-chunk sample rate, every little-endian
+    // int16 sample, and the windowed RMS from the exploded payload —
+    // full independent verification of the codec path. The RMS doubles
+    // meet bit-for-bit: Σs² of int16 samples is an exact integer below
+    // 2^53, /256 a power-of-two scale, sqrt correctly rounded on both
+    // engines.
     "qf_audio_rms" -> ((s, _) => {
-      writeMediaBytesFixture(s)
-      val imgs = ImageGen.images(s, PipelineCache.genCfg(50L).copy(withBytes = true))
-      graft.ops.Multimodal.audioFeatures(imgs, "image_id", "bytes").toDF()
-        .select(col("id"), posexplode(col("rms")).as(Seq("w", "rms")))
+      writeWavBytesFixture(s)
+      graft.ops.Multimodal.audioRms(
+          graft.synth.MediaGen.audio(s, audioN), "audio_id", "bytes").toDF()
+        .filter(col("decode_ok"))
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          posexplode(col("rms")).as(Seq("w", "rms")))
         .orderBy("id", "w")
     }),
 
@@ -812,7 +855,9 @@ object PipelineQueries {
     val clb = clusterLabeledFixturePath.replace("'", "''") + "/*.parquet"
     val crl = clusterRulesFixturePath.replace("'", "''") + "/*.parquet"
     val ccj = clusterConjunctsFixturePath.replace("'", "''") + "/*.parquet"
-    val mbx = mediaBytesFixturePath.replace("'", "''") + "/*.parquet"
+    val wbx = wavBytesFixturePath.replace("'", "''") + "/*.parquet"
+    val xfr = expectedFramesFixturePath.replace("'", "''") + "/*.parquet"
+    val fpx = framePixelsFixturePath.replace("'", "''") + "/*.parquet"
     // Shared SQL shape for the ANN recall oracles: brute-force top-5 by
     // (cos DESC, vec_id) recomputed from raw vectors, intersected with
     // the engine's written top-k fixture, zero-hit queries kept.
@@ -1113,30 +1158,70 @@ object PipelineQueries {
            |LEFT JOIN cond c ON c.cluster_id = r.cluster_id
            |                AND c.rule_id = r.rule_id
            |ORDER BY r.cluster_id, rule""".stripMargin,
-      // Recompute the every-5th 256-byte frame slicing + signed-byte
-      // checksum from the exploded media-byte fixture.
+      // Real MJPEG path: frame extents from the GENERATOR-TRUTH demux
+      // fixture (the engine's segment parser must rediscover them from
+      // bytes alone), dims + phash recomputed relationally from the
+      // decoded frame pixels (exact aHash spec, same arithmetic as the
+      // qf_phash_compute oracle).
       "qf_video_frames" ->
-        s"""WITH b AS (SELECT * FROM read_parquet('$mbx')),
-           |tot AS (SELECT id, COUNT(*) AS n FROM b GROUP BY id)
-           |SELECT b.id, CAST(b.i // 256 AS INT) AS frame_idx,
-           |  CAST(256 AS INT) AS n_bytes,
-           |  CAST(SUM(b.v) AS BIGINT) AS byte_sum
-           |FROM b JOIN tot ON tot.id = b.id
-           |WHERE b.i < (tot.n // 256) * 256 AND (b.i // 256) % 5 = 0
-           |GROUP BY b.id, b.i // 256
-           |ORDER BY b.id, frame_idx""".stripMargin,
-      // Recompute the windowed RMS from the same fixture: SUM(v*v) is an
-      // exact integer (HUGEINT), /256.0 a power-of-two scale, sqrt
-      // correctly rounded — bit-identical doubles on both engines.
+        s"""WITH d AS (SELECT video_id, frame_idx, pixels,
+           |    CAST(round(sqrt(len(pixels) / 3)) AS BIGINT) AS side
+           |  FROM read_parquet('$fpx')),
+           |u AS (SELECT video_id, frame_idx, side, unnest(pixels) AS v,
+           |    generate_subscripts(pixels, 1) AS i FROM d),
+           |px AS (SELECT video_id, frame_idx, side, (i - 1) // 3 AS pi,
+           |    SUM(CASE WHEN (i - 1) % 3 = 0 THEN 299 * v
+           |             WHEN (i - 1) % 3 = 1 THEN 587 * v
+           |             ELSE 114 * v END) // 1000 AS luma
+           |  FROM u GROUP BY 1, 2, 3, 4),
+           |cv AS (SELECT video_id, frame_idx,
+           |    ((pi // side) * 8 // side) * 8 + ((pi % side) * 8 // side) AS cell,
+           |    SUM(luma) // COUNT(*) AS gray
+           |  FROM px GROUP BY 1, 2, 3),
+           |mn AS (SELECT video_id, frame_idx, SUM(gray) // 64 AS mean
+           |  FROM cv GROUP BY 1, 2),
+           |ph AS (SELECT c.video_id, c.frame_idx,
+           |    CAST(SUM(CASE WHEN c.gray > m.mean THEN
+           |        CASE WHEN c.cell = 63 THEN -9223372036854775807 - 1
+           |             ELSE (CAST(1 AS BIGINT) << CAST(c.cell AS INTEGER)) END
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cv c JOIN mn m USING (video_id, frame_idx) GROUP BY 1, 2)
+           |SELECT x.video_id AS id, x.frame_idx, x.byte_off, x.n_bytes,
+           |  CAST(d.side AS INT) AS w, CAST(d.side AS INT) AS h, ph.phash
+           |FROM read_parquet('$xfr') x
+           |JOIN d ON d.video_id = x.video_id AND d.frame_idx = x.frame_idx
+           |JOIN ph ON ph.video_id = x.video_id AND ph.frame_idx = x.frame_idx
+           |WHERE x.frame_idx % 2 = 0
+           |ORDER BY id, x.frame_idx""".stripMargin,
+      // Real WAV path: DuckDB re-derives the fmt-chunk sample rate
+      // (bytes 24-27, LE u32), every little-endian int16 sample from
+      // the data chunk (canonical generator layout: data at offset 44;
+      // sample = signed-high-byte * 256 + unsigned-low-byte), and the
+      // windowed RMS — Σs² stays an exact integer, /256.0 a
+      // power-of-two scale, sqrt correctly rounded: bit-identical
+      // doubles on both engines.
       "qf_audio_rms" ->
-        s"""WITH b AS (SELECT * FROM read_parquet('$mbx')),
-           |tot AS (SELECT id, COUNT(*) AS n FROM b GROUP BY id)
-           |SELECT b.id, CAST(b.i // 256 AS INT) AS w,
-           |  sqrt(CAST(SUM(CAST(b.v AS BIGINT) * b.v) AS DOUBLE) / 256.0) AS rms
-           |FROM b JOIN tot ON tot.id = b.id
-           |WHERE b.i < (tot.n // 256) * 256
-           |GROUP BY b.id, b.i // 256
-           |ORDER BY b.id, w""".stripMargin,
+        s"""WITH b AS (SELECT id, i, v, (v + 256) % 256 AS u
+           |  FROM read_parquet('$wbx')),
+           |hdr AS (SELECT id,
+           |    CAST(SUM(CASE WHEN i = 24 THEN u WHEN i = 25 THEN u * 256
+           |                  WHEN i = 26 THEN u * 65536
+           |                  WHEN i = 27 THEN u * 16777216
+           |                  ELSE 0 END) AS INT) AS sample_rate,
+           |    CAST((COUNT(*) - 44) // 2 AS INT) AS n_samples
+           |  FROM b GROUP BY id),
+           |smp AS (SELECT lo.id, (lo.i - 44) // 2 AS s,
+           |    CAST(hi.v AS BIGINT) * 256 + lo.u AS sample
+           |  FROM b lo JOIN b hi ON hi.id = lo.id AND hi.i = lo.i + 1
+           |  WHERE lo.i >= 44 AND (lo.i - 44) % 2 = 0),
+           |win AS (SELECT id, CAST(s // 256 AS INT) AS w,
+           |    sqrt(CAST(SUM(sample * sample) AS DOUBLE) / 256.0) AS rms,
+           |    COUNT(*) AS cnt
+           |  FROM smp GROUP BY id, s // 256)
+           |SELECT win.id, hdr.sample_rate, hdr.n_samples, win.w, win.rms
+           |FROM win JOIN hdr ON hdr.id = win.id
+           |WHERE win.cnt = 256
+           |ORDER BY win.id, win.w""".stripMargin,
       "qf_scrub_equality" -> {
         val chain = scrubChainSql("c.caption")
         val xfx = expectedFixturePath.replace("'", "''") + "/*.parquet"

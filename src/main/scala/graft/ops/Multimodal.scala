@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * whole-partition materialization).
   *
   * Image decode/resize/feature-extract are REAL (JDK ImageIO handles
-  * png/jpeg/bmp in this container). Audio/video decoding has no codec
-  * library here, so [[audioFeatures]] and [[videoFrameSample]] STUB the
-  * codec step with a clearly-marked deterministic fake while keeping the
-  * Spark-side plumbing (schema, batching, partitioning) real and tested.
+  * png/jpeg/bmp in this container). Audio is REAL too:
+  * [[decodeWav]] parses RIFF/WAVE PCM through the JDK's own
+  * `javax.sound.sampled.AudioSystem` codec. Video is REAL at the
+  * container level the JDK can express: [[demuxMjpeg]] demuxes a
+  * Motion-JPEG elementary stream (concatenated baseline JPEGs — a
+  * public format) by segment-level JPEG parsing and [[videoFrames]]
+  * ImageIO-decodes the sampled frames. Inter-frame-coded formats
+  * (H.264 etc.) have no JDK codec and are out of scope here; on a real
+  * cluster the same mapPartitions seam takes a JNI/FFmpeg decoder.
   */
 object Multimodal {
 
@@ -144,9 +149,23 @@ object Multimodal {
   final case class ResizedPixels(
       image_id: String, decode_ok: Boolean, w: Int, h: Int, pixels: Array[Int])
 
-  final case class AudioFeatures(id: String, n_windows: Int, rms: Array[Double])
+  final case class AudioRms(
+      id: String,
+      decode_ok: Boolean,
+      sample_rate: Int,
+      n_samples: Int,
+      n_windows: Int,
+      rms: Array[Double])
 
-  final case class VideoFrames(id: String, frame_idx: Int, frame: Array[Byte])
+  final case class MjpegFrame(
+      id: String,
+      frame_idx: Int,
+      byte_off: Int,
+      n_bytes: Int,
+      decode_ok: Boolean,
+      w: Int,
+      h: Int,
+      phash: Long)
 
   /** Peak signal-to-noise ratio between two decoded images (the
     * BASELINE.md decoded-pixel fidelity gate; ∞ for identical pixels).
@@ -403,43 +422,156 @@ object Multimodal {
       }
   }
 
-  /** STUB CODEC: no audio library ships in this container, so the
-    * "decode" treats the binary as 16-bit PCM-ish samples — the windowed
-    * RMS plumbing (batch shape, schema, partition parallelism) is real. */
-  def audioFeatures(audio: DataFrame, idCol: String, bytesCol: String,
-      windowSize: Int = 256): Dataset[AudioFeatures] = {
+  /** Decoded PCM audio: interleaved samples as signed ints. */
+  final case class WavPcm(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** REAL audio decode through the JDK's own WAV codec
+    * (`javax.sound.sampled.AudioSystem` — pure stream parsing, no audio
+    * device): RIFF chunk navigation, format negotiation, and frame
+    * framing are the JDK parser's, never offset arithmetic on a known
+    * layout (a WAV with extra chunks before `data` decodes identically —
+    * spec-asserted). Supports the PCM_SIGNED 16-bit payloads the
+    * quality-filter corpus carries; anything else raises (callers map to
+    * decode_ok=false). */
+  def decodeWav(bytes: Array[Byte]): WavPcm = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      require(
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16,
+        s"unsupported audio format $f")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      if (f.isBigEndian)
+        while (i < n) {
+          samples(i) = (data(2 * i) << 8) | (data(2 * i + 1) & 0xff); i += 1
+        }
+      else
+        while (i < n) {
+          samples(i) = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff); i += 1
+        }
+      WavPcm(f.getSampleRate.toInt, f.getChannels, samples)
+    } finally ais.close()
+  }
+
+  /** Windowed RMS over REAL decoded PCM samples ([[decodeWav]]),
+    * partition-parallel like every codec op here. Each window of
+    * `windowSize` samples yields sqrt(Σs²/windowSize); the tail shorter
+    * than a window is dropped. Σs² of int16 samples is an exact integer
+    * below 2^53, so the oracle can recompute every window bit-for-bit
+    * from the container bytes. Corrupt/unsupported payloads yield
+    * decode_ok=false, never a task failure. */
+  def audioRms(audio: DataFrame, idCol: String, bytesCol: String,
+      windowSize: Int = 256): Dataset[AudioRms] = {
     val spark = audio.sparkSession
     import spark.implicits._
     audio.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val b = if (bytes == null) Array.emptyByteArray else bytes
-          val nw = b.length / windowSize
-          val rms = Array.tabulate(nw) { w =>
-            var s = 0.0
-            var i = w * windowSize
-            while (i < (w + 1) * windowSize) { val v = b(i).toDouble; s += v * v; i += 1 }
-            math.sqrt(s / windowSize)
+          try {
+            val pcm = decodeWav(bytes)
+            val s = pcm.samples
+            val nw = s.length / windowSize
+            val rms = Array.tabulate(nw) { w =>
+              var acc = 0.0
+              var i = w * windowSize
+              while (i < (w + 1) * windowSize) {
+                acc += s(i).toDouble * s(i); i += 1
+              }
+              math.sqrt(acc / windowSize)
+            }
+            AudioRms(id, decode_ok = true, pcm.sampleRate, s.length, nw, rms)
+          } catch {
+            case _: Exception =>
+              AudioRms(id, decode_ok = false, 0, 0, 0, Array.empty)
           }
-          AudioFeatures(id, nw, rms)
         }
       }
   }
 
-  /** STUB CODEC: fixed-size "frames" sliced from the binary, sampling
-    * every `every`-th — the frame-sampling plumbing is real, the codec
-    * is a deterministic fake. */
-  def videoFrameSample(video: DataFrame, idCol: String, bytesCol: String,
-      frameSize: Int = 256, every: Int = 5): Dataset[VideoFrames] = {
+  /** REAL MJPEG elementary-stream demux: frame boundaries are discovered
+    * by segment-level JPEG parsing, exactly as a decoder walks the
+    * format — SOI, then marker segments skipped by their big-endian
+    * length fields, entropy-coded scan data skipped honoring 0xFF00
+    * byte stuffing and RST0-7 restart markers, until EOI closes the
+    * frame and the next SOI opens the next. No heuristic byte scanning:
+    * a 0xFFD9 inside a marker segment's payload cannot be mistaken for
+    * EOI because segments are skipped by length, and one inside scan
+    * data cannot occur unescaped by the format's stuffing rule.
+    * Returns (offset, length) per frame; malformed streams throw
+    * (callers map to decode_ok=false). */
+  def demuxMjpeg(bytes: Array[Byte]): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def len16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var p = 0
+    while (p < bytes.length) {
+      require(u8(p) == 0xff && u8(p + 1) == 0xd8, s"expected SOI at $p")
+      val start = p
+      p += 2
+      var open = true
+      while (open) {
+        require(u8(p) == 0xff, s"expected marker at $p")
+        // fill bytes: 0xFF may be repeated before a marker code
+        while (u8(p + 1) == 0xff) p += 1
+        val m = u8(p + 1)
+        if (m == 0xd9) { // EOI — frame complete
+          p += 2
+          out += ((start, p - start))
+          open = false
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          p += 2 // standalone marker, no segment body
+        } else if (m == 0xda) { // SOS: header by length, then scan data
+          p += 2 + len16(p + 2)
+          var scanning = true
+          while (scanning) {
+            if (u8(p) != 0xff) p += 1
+            else {
+              val nxt = u8(p + 1)
+              if (nxt == 0x00) p += 2 // stuffed data 0xFF
+              else if (nxt >= 0xd0 && nxt <= 0xd7) p += 2 // restart marker
+              else scanning = false // real marker ends the scan
+            }
+          }
+        } else {
+          p += 2 + len16(p + 2) // any other segment: skip by length
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Frame sampling over REAL MJPEG streams: demux ([[demuxMjpeg]]),
+    * take every `every`-th frame, ImageIO-decode it ([[decodeImage]] —
+    * the same thread-local-reader path the image ops use), and emit its
+    * true byte extent, dimensions, and pixel-derived phash
+    * ([[phash64]]) — the video-side producer for the banding dedup.
+    * Partition-parallel; a malformed stream yields one decode_ok=false
+    * row (frame_idx -1), never a task failure. */
+  def videoFrames(video: DataFrame, idCol: String, bytesCol: String,
+      every: Int = 2): Dataset[MjpegFrame] = {
     val spark = video.sparkSession
     import spark.implicits._
     video.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val b = if (bytes == null) Array.emptyByteArray else bytes
-          val nFrames = b.length / frameSize
-          (0 until nFrames by every).map { f =>
-            VideoFrames(id, f, java.util.Arrays.copyOfRange(b, f * frameSize, (f + 1) * frameSize))
+          try {
+            val idx = demuxMjpeg(bytes)
+            (0 until idx.length by every).iterator.map { f =>
+              val (off, len) = idx(f)
+              val img = decodeImage(
+                java.util.Arrays.copyOfRange(bytes, off, off + len))
+              MjpegFrame(id, f, off, len, decode_ok = true,
+                img.getWidth, img.getHeight, phash64(img))
+            }
+          } catch {
+            case _: Exception =>
+              Iterator.single(
+                MjpegFrame(id, -1, 0, 0, decode_ok = false, 0, 0, 0L))
           }
         }
       }

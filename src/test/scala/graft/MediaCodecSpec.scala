@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+import graft.synth.MediaGen
+
+/** Real-codec audio/video paths: WAV/PCM through the JDK's
+  * javax.sound parser, MJPEG elementary streams through segment-level
+  * JPEG demux + ImageIO frame decode. */
+class MediaCodecSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  // --- WAV ------------------------------------------------------------
+  test("wav round-trip: decodeWav recovers the exact int16 samples") {
+    (0L until 5L).foreach { id =>
+      val pcm = MediaGen.samples(42L, id)
+      val sr = MediaGen.sampleRate(42L, id)
+      val out = Multimodal.decodeWav(MediaGen.wavBytes(sr, pcm))
+      assert(out.sampleRate == sr)
+      assert(out.channels == 1)
+      assert(out.samples.toSeq == pcm.toSeq)
+    }
+  }
+
+  test("decodeWav is a real parser: extra RIFF chunks before data are navigated") {
+    // canonical bytes, then splice a LIST chunk between "fmt " and
+    // "data" — offset-44 slicing would read garbage; the JDK parser
+    // must skip it by chunk length and return identical samples
+    val pcm = MediaGen.samples(42L, 7L)
+    val canonical = MediaGen.wavBytes(8000, pcm)
+    val listBody = "INFOIART".getBytes("US-ASCII") // 8-byte payload
+    val spliced = java.nio.ByteBuffer
+      .allocate(canonical.length + 8 + listBody.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    spliced.put(canonical, 0, 36) // RIFF..fmt chunk end
+    spliced.put("LIST".getBytes("US-ASCII")).putInt(listBody.length)
+    spliced.put(listBody)
+    spliced.put(canonical, 36, canonical.length - 36) // data chunk
+    val bytes = spliced.array()
+    // patch the RIFF size field (bytes 4-7) for the extra chunk
+    val riffLen = bytes.length - 8
+    (0 until 4).foreach(i => bytes(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte)
+    val out = Multimodal.decodeWav(bytes)
+    assert(out.samples.toSeq == pcm.toSeq)
+  }
+
+  test("audioRms: real decode, windows match a scalar recompute, tail dropped") {
+    val df = MediaGen.audio(spark, 6L, parts = 2)
+    val rows = Multimodal.audioRms(df, "audio_id", "bytes", windowSize = 256)
+      .collect().map(r => r.id -> r).toMap
+    assert(rows.size == 6 && rows.values.forall(_.decode_ok))
+    (0L until 6L).foreach { id =>
+      val pcm = MediaGen.samples(42L, id)
+      val r = rows(f"aud$id%09d")
+      assert(r.n_samples == pcm.length)
+      assert(r.sample_rate == MediaGen.sampleRate(42L, id))
+      assert(r.n_windows == pcm.length / 256)
+      val expect = (0 until pcm.length / 256).map { w =>
+        math.sqrt(pcm.slice(w * 256, (w + 1) * 256)
+          .map(s => s.toDouble * s).sum / 256)
+      }
+      assert(r.rms.toSeq == expect, "RMS must be bit-exact vs the scalar spec")
+    }
+  }
+
+  test("audioRms: corrupt and non-PCM payloads yield decode_ok=false rows") {
+    val junk = Array.tabulate(100)(_.toByte)
+    val truncated = MediaGen.wavBytes(8000, MediaGen.samples(42L, 1L)).take(30)
+    val df = Seq(("junk", junk), ("trunc", truncated)).toDF("id", "bytes")
+    val rows = Multimodal.audioRms(df, "id", "bytes").collect()
+    assert(rows.length == 2 && rows.forall(!_.decode_ok))
+  }
+
+  // --- MJPEG ----------------------------------------------------------
+  test("demuxMjpeg rediscovers the generator-truth frame boundaries from bytes alone") {
+    (0L until 5L).foreach { id =>
+      val (bytes, idx) = MediaGen.mjpegWithIndex(42L, id)
+      assert(Multimodal.demuxMjpeg(bytes).toSeq == idx.toSeq)
+    }
+  }
+
+  test("demuxMjpeg skips segments by length: a 0xFFD9 inside COM payload is not EOI") {
+    // one real frame, with a COM (0xFFFE) segment whose payload contains
+    // the EOI byte pair, spliced right after SOI — a byte-scanning
+    // demuxer would split the frame early; the segment parser must not
+    val frame = graft.ops.Multimodal.encodeImage(
+      MediaGen.frameImage(42L, 0L, 0), "jpg")
+    val payload = Array[Byte](0xff.toByte, 0xd9.toByte, 1, 2)
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte,
+      0, (payload.length + 2).toByte) ++ payload
+    val spliced = frame.take(2) ++ com ++ frame.drop(2)
+    val idx = Multimodal.demuxMjpeg(spliced)
+    assert(idx.toSeq == Seq((0, spliced.length)))
+  }
+
+  test("videoFrames: every-2nd frame, true extents, real decode, phash from pixels") {
+    val df = MediaGen.videos(spark, 4L, parts = 2)
+    val out = Multimodal.videoFrames(df, "video_id", "bytes", every = 2)
+      .collect().groupBy(_.id)
+    (0L until 4L).foreach { id =>
+      val (bytes, idx) = MediaGen.mjpegWithIndex(42L, id)
+      val rows = out(f"vid$id%09d").sortBy(_.frame_idx)
+      assert(rows.map(_.frame_idx).toSeq == (0 until idx.length by 2).toSeq)
+      rows.foreach { r =>
+        assert(r.decode_ok)
+        val (off, len) = idx(r.frame_idx)
+        assert((r.byte_off, r.n_bytes) == (off, len))
+        assert((r.w, r.h) == (16, 16))
+        val img = Multimodal.decodeImage(
+          java.util.Arrays.copyOfRange(bytes, off, off + len))
+        assert(r.phash == Multimodal.phash64(img))
+      }
+    }
+  }
+
+  test("videoFrames: decoded JPEG frames stay within the lossy fidelity gate (PSNR >= 40dB)") {
+    val (bytes, idx) = MediaGen.mjpegWithIndex(42L, 2L)
+    idx.zipWithIndex.foreach { case ((off, len), f) =>
+      val img = Multimodal.decodeImage(
+        java.util.Arrays.copyOfRange(bytes, off, off + len))
+      val px = Multimodal.pixelChannels(img)
+      val exp = MediaGen.expectedFramePixels(42L, 2L, f)
+      assert(px.length == exp.length)
+      var mse = 0.0
+      px.indices.foreach { i =>
+        val d = (px(i) - exp(i)).toDouble; mse += d * d
+      }
+      val psnr =
+        if (mse == 0) Double.PositiveInfinity
+        else 10.0 * math.log10(255.0 * 255.0 / (mse / px.length))
+      assert(psnr >= 40.0, s"frame $f psnr $psnr")
+    }
+  }
+
+  test("videoFrames: malformed stream yields a single decode_ok=false row") {
+    val df = Seq(("bad", Array.tabulate(512)(_.toByte))).toDF("id", "bytes")
+    val rows = Multimodal.videoFrames(df, "id", "bytes").collect()
+    assert(rows.length == 1 && !rows.head.decode_ok && rows.head.frame_idx == -1)
+  }
+}

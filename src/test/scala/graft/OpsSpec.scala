@@ -382,14 +382,6 @@ class OpsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"payload self-join regression? plan:\n$plan")
   }
 
-  test("multimodal: frame sampling takes every k-th fixed-size frame") {
-    val df = Seq(("v", Array.tabulate(1024)(_.toByte))).toDF("id", "bytes")
-    val frames = Multimodal.videoFrameSample(df, "id", "bytes", frameSize = 256, every = 2)
-      .collect()
-    assert(frames.map(_.frame_idx).sorted.sameElements(Array(0, 2)))
-    assert(frames.forall(_.frame.length == 256))
-  }
-
   test("multimodal: upscale zero-fills output cells no source pixel maps to") {
     // 2×2 source into an 8×8 grid: each source pixel lands in exactly
     // one cell (pi/w*outH/h etc. maps pixel (r,c) to cell (4r,4c)), so
@@ -435,18 +427,5 @@ class OpsSpec extends AnyFunSuite {
     // null payload yields no rows (exercised via the empty array here;
     // null binary goes through the same emptiness guard)
     assert(!rows.exists(_._1 == "empty"))
-  }
-
-  test("multimodal: windowed RMS matches a scalar recompute per window") {
-    val payload = Array.tabulate(600)(i => ((i * 37 + 11) % 251 - 125).toByte)
-    val df = Seq(("a", payload)).toDF("id", "bytes")
-    val out = Multimodal.audioFeatures(df, "id", "bytes", windowSize = 256)
-      .collect().head
-    assert(out.n_windows == 2)
-    val expect = (0 until 2).map { w =>
-      math.sqrt(payload.slice(w * 256, (w + 1) * 256)
-        .map(b => b.toDouble * b).sum / 256)
-    }
-    assert(out.rms.toSeq == expect, "RMS must be bit-exact vs the scalar spec")
   }
 }
