@@ -551,7 +551,12 @@ object Multimodal {
     * true byte extent, dimensions, and pixel-derived phash
     * ([[phash64]]) — the video-side producer for the banding dedup.
     * Partition-parallel; a malformed stream yields one decode_ok=false
-    * row (frame_idx -1), never a task failure. */
+    * row (frame_idx -1) and a demuxable-but-undecodable FRAME yields a
+    * decode_ok=false row carrying its true byte extent (the per-frame
+    * decode is guarded INSIDE the lazily-consumed iterator — an
+    * unguarded throw there would escape the outer try, which only
+    * covers building the iterator, and fail the task), never a task
+    * failure. */
   def videoFrames(video: DataFrame, idCol: String, bytesCol: String,
       every: Int = 2): Dataset[MjpegFrame] = {
     val spark = video.sparkSession
@@ -563,10 +568,17 @@ object Multimodal {
             val idx = demuxMjpeg(bytes)
             (0 until idx.length by every).iterator.map { f =>
               val (off, len) = idx(f)
-              val img = decodeImage(
-                java.util.Arrays.copyOfRange(bytes, off, off + len))
-              MjpegFrame(id, f, off, len, decode_ok = true,
-                img.getWidth, img.getHeight, phash64(img))
+              try {
+                val img = decodeImage(
+                  java.util.Arrays.copyOfRange(bytes, off, off + len))
+                if (img == null)
+                  MjpegFrame(id, f, off, len, decode_ok = false, 0, 0, 0L)
+                else MjpegFrame(id, f, off, len, decode_ok = true,
+                  img.getWidth, img.getHeight, phash64(img))
+              } catch {
+                case _: Exception =>
+                  MjpegFrame(id, f, off, len, decode_ok = false, 0, 0, 0L)
+              }
             }
           } catch {
             case _: Exception =>

@@ -138,4 +138,27 @@ class MediaCodecSpec extends AnyFunSuite {
     val rows = Multimodal.videoFrames(df, "id", "bytes").collect()
     assert(rows.length == 1 && !rows.head.decode_ok && rows.head.frame_idx == -1)
   }
+
+  test("videoFrames: a demuxable-but-undecodable frame costs one row, not the task") {
+    // frame 0 = real JPEG, frame 1 = bare SOI+EOI (demux-parseable — SOI
+    // then the EOI marker closes it — but ImageIO decode throws: no SOF),
+    // frame 2 = real JPEG. every=1 so all three are sampled. The guarded
+    // per-frame decode must emit decode_ok=false WITH the true extent
+    // for frame 1 and still decode frames 0 and 2 (an unguarded lazy
+    // decode would fail the whole task instead).
+    val f0 = Multimodal.encodeImage(MediaGen.frameImage(42L, 9L, 0), "jpg")
+    val f1 = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)
+    val f2 = Multimodal.encodeImage(MediaGen.frameImage(42L, 9L, 1), "jpg")
+    val stream = f0 ++ f1 ++ f2
+    assert(Multimodal.demuxMjpeg(stream).toSeq ==
+      Seq((0, f0.length), (f0.length, 4), (f0.length + 4, f2.length)))
+    val df = Seq(("mixed", stream)).toDF("id", "bytes")
+    val rows = Multimodal.videoFrames(df, "id", "bytes", every = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(rows(0).decode_ok && rows(2).decode_ok)
+    assert(!rows(1).decode_ok &&
+      (rows(1).byte_off, rows(1).n_bytes) == (f0.length, 4))
+    assert(rows(0).phash == Multimodal.phash64(Multimodal.decodeImage(f0)))
+  }
 }
