@@ -251,6 +251,10 @@ object PipelineQueries {
     * channels, the ImageIO decode itself is pinned by the PSNR spec). */
   private val audioN = 40L
   private val videoN = 20L
+  // ONE stride for the frame-sampling contract: the engine call, the
+  // frame-pixels fixture writer, and the oracle SQL's modulus must
+  // agree or the compare mismatches spuriously
+  private val videoEvery = 2
   private[graft] def wavBytesFixturePath: String =
     new java.io.File("target/verify-fixtures/wav_bytes.parquet").getAbsolutePath
   private def writeWavBytesFixture(s: SparkSession): Unit =
@@ -275,7 +279,7 @@ object PipelineQueries {
         .select(col("video_id"), col("bytes")).as[(String, Array[Byte])]
         .flatMap { case (id, bytes) =>
           val idx = graft.ops.Multimodal.demuxMjpeg(bytes)
-          (0 until idx.length by 2).iterator.map { f =>
+          (0 until idx.length by videoEvery).iterator.map { f =>
             val (off, len) = idx(f)
             val img = graft.ops.Multimodal.decodeImage(
               java.util.Arrays.copyOfRange(bytes, off, off + len))
@@ -698,7 +702,7 @@ object PipelineQueries {
       writeVideoFixtures(s)
       graft.ops.Multimodal.videoFrames(
           graft.synth.MediaGen.videos(s, videoN), "video_id", "bytes",
-          every = 2).toDF()
+          every = videoEvery).toDF()
         .filter(col("decode_ok"))
         .select(col("id"), col("frame_idx"), col("byte_off"),
           col("n_bytes"), col("w"), col("h"), col("phash"))
@@ -1191,7 +1195,7 @@ object PipelineQueries {
            |FROM read_parquet('$xfr') x
            |JOIN d ON d.video_id = x.video_id AND d.frame_idx = x.frame_idx
            |JOIN ph ON ph.video_id = x.video_id AND ph.frame_idx = x.frame_idx
-           |WHERE x.frame_idx % 2 = 0
+           |WHERE x.frame_idx % $videoEvery = 0
            |ORDER BY id, x.frame_idx""".stripMargin,
       // Real WAV path: DuckDB re-derives the fmt-chunk sample rate
       // (bytes 24-27, LE u32), every little-endian int16 sample from

@@ -430,9 +430,12 @@ object Multimodal {
     * device): RIFF chunk navigation, format negotiation, and frame
     * framing are the JDK parser's, never offset arithmetic on a known
     * layout (a WAV with extra chunks before `data` decodes identically —
-    * spec-asserted). Supports the PCM_SIGNED 16-bit payloads the
+    * spec-asserted). Supports the MONO PCM_SIGNED 16-bit payloads the
     * quality-filter corpus carries; anything else raises (callers map to
-    * decode_ok=false). */
+    * decode_ok=false). Mono is part of the require: a multi-channel WAV
+    * would otherwise decode "ok" with channel-INTERLEAVED samples, so a
+    * downstream windowed RMS would silently mix channels and report an
+    * inflated n_samples with no field to detect it by. */
   def decodeWav(bytes: Array[Byte]): WavPcm = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -440,7 +443,7 @@ object Multimodal {
       val f = ais.getFormat
       require(
         f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          f.getSampleSizeInBits == 16,
+          f.getSampleSizeInBits == 16 && f.getChannels == 1,
         s"unsupported audio format $f")
       val data = ais.readAllBytes()
       val n = data.length / 2
@@ -534,6 +537,12 @@ object Multimodal {
               val nxt = u8(p + 1)
               if (nxt == 0x00) p += 2 // stuffed data 0xFF
               else if (nxt >= 0xd0 && nxt <= 0xd7) p += 2 // restart marker
+              // fill byte (spec B.1.1.2: any marker may be preceded by
+              // 0xFF padding) — consume ONE and keep scanning: exiting
+              // the scan here would hand a following RST to the
+              // segment-level loop, which would then misread the raw
+              // entropy data after it as marker structure
+              else if (nxt == 0xff) p += 1
               else scanning = false // real marker ends the scan
             }
           }
@@ -566,7 +575,13 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           try {
             val idx = demuxMjpeg(bytes)
-            (0 until idx.length by every).iterator.map { f =>
+            // zero-frame payload (empty bytes): the row must still be
+            // visible downstream as a failed decode, not vanish — the
+            // same sentinel a malformed stream gets
+            if (idx.isEmpty)
+              Iterator.single(
+                MjpegFrame(id, -1, 0, 0, decode_ok = false, 0, 0, 0L))
+            else (0 until idx.length by every).iterator.map { f =>
               val (off, len) = idx(f)
               try {
                 val img = decodeImage(

@@ -41,8 +41,10 @@ object MediaGen {
   def nSamples(seed: Long, id: Long): Int =
     600 + new ImageGen.Rng(seed, id, 17L).nextInt(1000)
 
+  // own stream tag (20L): sharing nSamples' tag 17 would couple both
+  // fields to the identical first splitmix draw
   def sampleRate(seed: Long, id: Long): Int =
-    sampleRates(new ImageGen.Rng(seed, id, 17L).nextInt(sampleRates.length))
+    sampleRates(new ImageGen.Rng(seed, id, 20L).nextInt(sampleRates.length))
 
   /** Signed 16-bit samples for row id — seeded splitmix noise in
     * [-30000, 30000] (sum of squares over any window stays exact in a
@@ -99,9 +101,16 @@ object MediaGen {
     * generator truth is a usable fidelity reference for the REAL codec,
     * mirroring what natural video frames look like to a DCT codec. */
   def framePixel(seed: Long, id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = {
-    val rng = new ImageGen.Rng(seed, id * 131 + f, 19L)
-    val (a, b, c) = (rng.nextInt(192), rng.nextInt(192), rng.nextInt(192))
+    val (a, b, c) = frameBase(seed, id, f)
     (a + x * 2, b + y * 2, c + x + y)
+  }
+
+  /** The per-frame channel bases — one Rng draw per FRAME (the spatial
+    * slopes in [[framePixel]] are pure arithmetic on top), so frame
+    * synthesis costs 3 draws, not 3 per pixel. */
+  def frameBase(seed: Long, id: Long, f: Int): (Int, Int, Int) = {
+    val rng = new ImageGen.Rng(seed, id * 131 + f, 19L)
+    (rng.nextInt(192), rng.nextInt(192), rng.nextInt(192))
   }
 
   /** Deterministic 16×16 RGB frame `f` of video `id` (see
@@ -110,11 +119,12 @@ object MediaGen {
     val side = ImageGen.payloadSide
     val img = new java.awt.image.BufferedImage(side, side,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (a, bb, c) = frameBase(seed, id, f)
     var y = 0
     while (y < side) {
       var x = 0
       while (x < side) {
-        val (r, g, b) = framePixel(seed, id, f, x, y)
+        val (r, g, b) = (a + x * 2, bb + y * 2, c + x + y)
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -129,13 +139,13 @@ object MediaGen {
   def expectedFramePixels(seed: Long, id: Long, f: Int): Array[Int] = {
     val side = ImageGen.payloadSide
     val out = new Array[Int](side * side * 3)
+    val (a, bb, c) = frameBase(seed, id, f)
     var y = 0
     while (y < side) {
       var x = 0
       while (x < side) {
-        val (r, g, b) = framePixel(seed, id, f, x, y)
         val i = (y * side + x) * 3
-        out(i) = r; out(i + 1) = g; out(i + 2) = b
+        out(i) = a + x * 2; out(i + 1) = bb + y * 2; out(i + 2) = c + x + y
         x += 1
       }
       y += 1

@@ -72,6 +72,22 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(rows.length == 2 && rows.forall(!_.decode_ok))
   }
 
+  test("audioRms: a STEREO wav is refused, not silently channel-mixed") {
+    // patch the canonical mono header to declare 2 channels (offset 22),
+    // byte rate sr*4 (offset 28), block align 4 (offset 32) — the JDK
+    // parser decodes it fine, but the samples would be L/R interleaved:
+    // windowed RMS over them would silently mix channels and n_samples
+    // would be 2x the per-channel count, with no field to detect it by
+    val bytes = MediaGen.wavBytes(8000, MediaGen.samples(42L, 3L))
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putShort(22, 2.toShort)
+    b.putInt(28, 8000 * 4)
+    b.putShort(32, 4.toShort)
+    val df = Seq(("stereo", bytes)).toDF("id", "bytes")
+    val rows = Multimodal.audioRms(df, "id", "bytes").collect()
+    assert(rows.length == 1 && !rows.head.decode_ok)
+  }
+
   // --- MJPEG ----------------------------------------------------------
   test("demuxMjpeg rediscovers the generator-truth frame boundaries from bytes alone") {
     (0L until 5L).foreach { id =>
@@ -92,6 +108,34 @@ class MediaCodecSpec extends AnyFunSuite {
     val spliced = frame.take(2) ++ com ++ frame.drop(2)
     val idx = Multimodal.demuxMjpeg(spliced)
     assert(idx.toSeq == Seq((0, spliced.length)))
+  }
+
+  test("demuxMjpeg honors fill bytes before restart markers inside scan data") {
+    // spec B.1.1.2: any marker may be preceded by 0xFF padding. The scan
+    // skipper must consume the fill and keep scanning — exiting the scan
+    // at 0xFF 0xFF would hand the RST to the segment-level loop, which
+    // would then misread the raw entropy bytes after it as marker
+    // structure. Synthetic frame (demux validates structure, not
+    // decodability): SOI, SOS(len 4), entropy with a stuffed 0xFF, a
+    // fill byte + RST0, more entropy, fill byte + EOI.
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val frame = b(0xff, 0xd8, // SOI
+      0xff, 0xda, 0x00, 0x04, 0x01, 0x3f, // SOS header, len 4
+      0x11, 0x22, 0xff, 0x00, 0x33, // entropy incl. stuffed 0xFF
+      0xff, 0xff, 0xd0, // FILL byte then RST0
+      0x44, 0x55, // entropy resumes
+      0xff, 0xff, 0xd9) // FILL byte then EOI
+    assert(Multimodal.demuxMjpeg(frame).toSeq == Seq((0, frame.length)))
+    // and a two-frame stream splits at the right boundary
+    val two = frame ++ frame
+    assert(Multimodal.demuxMjpeg(two).toSeq ==
+      Seq((0, frame.length), (frame.length, frame.length)))
+  }
+
+  test("videoFrames: empty payload yields the sentinel row, not zero rows") {
+    val df = Seq(("empty", Array.emptyByteArray)).toDF("id", "bytes")
+    val rows = Multimodal.videoFrames(df, "id", "bytes").collect()
+    assert(rows.length == 1 && !rows.head.decode_ok && rows.head.frame_idx == -1)
   }
 
   test("videoFrames: every-2nd frame, true extents, real decode, phash from pixels") {
