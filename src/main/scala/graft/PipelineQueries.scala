@@ -322,6 +322,47 @@ object PipelineQueries {
         .coalesce(1).write.mode("overwrite").parquet(clusterConjunctsFixturePath)
     }
 
+  /** SOM (M9) fixtures: the faulty rows' score vectors and the trained
+    * batch-SOM codebook (unit, w_0..w_{dim-1}), so DuckDB can re-derive
+    * every BMU assignment relationally (cross join → squared-distance
+    * argmin with the same first-min tie rule). One-sided like the other
+    * model fixtures: the FIT is spec-tested (SomSpec — Lloyd-step
+    * degeneration, determinism, QE descent), the ASSIGNMENT over the
+    * written codebook is what the oracle independently recomputes. */
+  private[graft] def somFeaturesFixturePath: String =
+    new java.io.File("target/verify-fixtures/som_features.parquet").getAbsolutePath
+  private[graft] def somCodebookFixturePath: String =
+    new java.io.File("target/verify-fixtures/som_codebook.parquet").getAbsolutePath
+  private def writeSomFixtures(s: SparkSession): Unit =
+    writeOnce(somCodebookFixturePath) {
+      val scored = PipelineCache.scored(s, N).withColumn("status", lit("clean"))
+      val knownCount = ImageGen.knownFaults(s, PipelineCache.genCfg(N)).count()
+      val (t, _) = graft.discovery.Thresholds.discover(
+        scored, "invalidity_score", "status", knownCount)
+      scored.filter(col("invalidity_score") >= t)
+        .select((col("image_id") +:
+          PipelineCache.scoreNames.map(c => col(c).cast("double").as(c))): _*)
+        .coalesce(1).write.mode("overwrite").parquet(somFeaturesFixturePath)
+      // fit from the written fixture so the codebook is a pure function
+      // of the bytes the oracle reads (parquet doubles are exact anyway)
+      val feats = s.read.parquet(somFeaturesFixturePath)
+      val sample = feats.orderBy(xxhash64(col("image_id"))).limit(10000)
+        .select(PipelineCache.scoreNames.map(col): _*).coalesce(1).cache()
+      val model =
+        try graft.explain.SomClustering.fit(sample, PipelineCache.scoreNames)
+        finally sample.unpersist()
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("unit",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          (0 until model.dim).map(i => org.apache.spark.sql.types.StructField(
+            s"w_$i", org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rows = model.weights.zipWithIndex.map { case (w, u) =>
+        org.apache.spark.sql.Row.fromSeq(u +: w.toSeq)
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(somCodebookFixturePath)
+    }
+
   /** Fidelity rule shared by both engines (exact integer arithmetic, no
     * floating-point boundary calls): lossless formats must decode to the
     * generator-truth pixels EXACTLY (sse = 0); jpeg rows must decode to a
@@ -826,6 +867,25 @@ object PipelineQueries {
           coalesce(col("n_match"), lit(0L)).as("n_match"),
           coalesce(col("n_invalid"), lit(0L)).as("n_invalid"))
         .orderBy("cluster_id", "rule_id")
+    }),
+
+    // M9 SOM: map every faulty row to its best-matching grid cell of
+    // the trained batch-SOM codebook. The engine's BMU is a Catalyst
+    // HOF expression over the codebook written to the fixture; the
+    // oracle recomputes every squared distance in the same feature
+    // order (left-to-right sum — bit-identical IEEE fold) and applies
+    // the same first-min tie rule (ORDER BY dist, unit).
+    "qf_som_assign" -> ((s, _) => {
+      writeSomFixtures(s)
+      val feats = s.read.parquet(somFeaturesFixturePath)
+      val dim = PipelineCache.scoreNames.size
+      val cb = s.read.parquet(somCodebookFixturePath).orderBy("unit").collect()
+      val weights = cb.map(r =>
+        Array.tabulate(dim)(i => r.getDouble(r.fieldIndex(s"w_$i"))))
+      val model = graft.explain.SomClustering.SomModel(5, 5, dim, weights)
+      graft.explain.SomClustering.assign(
+          feats, "image_id", PipelineCache.scoreNames, model)
+        .orderBy("image_id")
     })
   )
 
@@ -859,6 +919,8 @@ object PipelineQueries {
     val clb = clusterLabeledFixturePath.replace("'", "''") + "/*.parquet"
     val crl = clusterRulesFixturePath.replace("'", "''") + "/*.parquet"
     val ccj = clusterConjunctsFixturePath.replace("'", "''") + "/*.parquet"
+    val smf = somFeaturesFixturePath.replace("'", "''") + "/*.parquet"
+    val smc = somCodebookFixturePath.replace("'", "''") + "/*.parquet"
     val wbx = wavBytesFixturePath.replace("'", "''") + "/*.parquet"
     val xfr = expectedFramesFixturePath.replace("'", "''") + "/*.parquet"
     val fpx = framePixelsFixturePath.replace("'", "''") + "/*.parquet"
@@ -1143,6 +1205,24 @@ object PipelineQueries {
            |  CAST(COALESCE(c.n_invalid, 0) AS BIGINT) AS n_invalid
            |FROM read_parquet('$crl') r LEFT JOIN c USING (cluster_id, rule_id)
            |ORDER BY r.cluster_id, r.rule_id""".stripMargin
+      },
+      // Re-derive every SOM BMU from the codebook fixture: squared
+      // distance summed in feature order (matches the engine's
+      // left-to-right HOF fold bit-for-bit — the fold's 0.0+d0 seed is
+      // exact for non-negative squares), first-min tie on unit index.
+      "qf_som_assign" -> {
+        val dist = PipelineCache.scoreNames.zipWithIndex.map {
+          case (c, i) => s"(f.$c - c.w_$i) * (f.$c - c.w_$i)"
+        }.mkString(" + ")
+        s"""WITH d AS (
+           |  SELECT f.image_id, c.unit, $dist AS dist
+           |  FROM read_parquet('$smf') f CROSS JOIN read_parquet('$smc') c),
+           |b AS (SELECT image_id, unit,
+           |  row_number() OVER (PARTITION BY image_id ORDER BY dist, unit) AS rn
+           |  FROM d)
+           |SELECT image_id, CAST(unit AS INT) AS bmu_unit,
+           |  CAST(unit // 5 AS INT) AS bmu_row, CAST(unit % 5 AS INT) AS bmu_col
+           |FROM b WHERE rn = 1 ORDER BY image_id""".stripMargin
       },
       // Rebuild every rendered rule STRING from the conjunct fixture:
       // printf('%.4f') and Scala's f"%.4f" cannot disagree because no
