@@ -36,14 +36,23 @@ object PipelineCache {
       Scorer.withScores(images(spark, n), models(spark, n), dupDrop).cache()
     }
 
+  /** Discovered (threshold, median) of the invalidity-score
+    * distribution — ONE knownFaults count + ONE discovery aggregation
+    * per process, shared by `decisions` and the cluster-rule/SOM
+    * fixture writers (each previously re-ran both with identical
+    * inputs and results). */
+  def thresholdMedian(spark: SparkSession, n: Long): (Double, Double) =
+    cached(s"threshold/$n") {
+      val withStatus = scored(spark, n).withColumn("status", lit("clean"))
+      val knownCount = ImageGen.knownFaults(spark, genCfg(n)).count()
+      graft.discovery.Thresholds.discover(
+        withStatus, "invalidity_score", "status", knownCount)
+    }
+
   def decisions(spark: SparkSession, n: Long): DataFrame =
     cached(s"decisions/$n") {
-      val s = scored(spark, n)
-      val knownCount = ImageGen.knownFaults(spark, genCfg(n)).count()
-      val withStatus = s.withColumn("status", lit("clean"))
-      val (t, _) = graft.discovery.Thresholds.discover(
-        withStatus, "invalidity_score", "status", knownCount)
-      Scorer.withDecision(s, t)
+      val (t, _) = thresholdMedian(spark, n)
+      Scorer.withDecision(scored(spark, n), t)
         .select("image_id", "decision", "invalidity_score", "scrubbed_caption")
     }
 
@@ -306,9 +315,7 @@ object PipelineQueries {
     writeOnce(clusterRulesFixturePath) {
       import s.implicits._
       val scored = PipelineCache.scored(s, N).withColumn("status", lit("clean"))
-      val knownCount = ImageGen.knownFaults(s, PipelineCache.genCfg(N)).count()
-      val (t, med) = graft.discovery.Thresholds.discover(
-        scored, "invalidity_score", "status", knownCount)
+      val (t, med) = PipelineCache.thresholdMedian(s, N)
       val (rules, labeled) = graft.explain.ClusterExplainer.explainStructured(
         scored, PipelineCache.scoreNames, t, med)
       labeled.coalesce(1).write.mode("overwrite").parquet(clusterLabeledFixturePath)
@@ -335,19 +342,19 @@ object PipelineQueries {
     new java.io.File("target/verify-fixtures/som_codebook.parquet").getAbsolutePath
   private def writeSomFixtures(s: SparkSession): Unit =
     writeOnce(somCodebookFixturePath) {
-      val scored = PipelineCache.scored(s, N).withColumn("status", lit("clean"))
-      val knownCount = ImageGen.knownFaults(s, PipelineCache.genCfg(N)).count()
-      val (t, _) = graft.discovery.Thresholds.discover(
-        scored, "invalidity_score", "status", knownCount)
+      val scored = PipelineCache.scored(s, N)
+      val (t, _) = PipelineCache.thresholdMedian(s, N)
       scored.filter(col("invalidity_score") >= t)
         .select((col("image_id") +:
           PipelineCache.scoreNames.map(c => col(c).cast("double").as(c))): _*)
         .coalesce(1).write.mode("overwrite").parquet(somFeaturesFixturePath)
       // fit from the written fixture so the codebook is a pure function
-      // of the bytes the oracle reads (parquet doubles are exact anyway)
+      // of the bytes the oracle reads (parquet doubles are exact anyway);
+      // sampling policy = the repo-wide ClusterExplainer.fitSample
       val feats = s.read.parquet(somFeaturesFixturePath)
-      val sample = feats.orderBy(xxhash64(col("image_id"))).limit(10000)
-        .select(PipelineCache.scoreNames.map(col): _*).coalesce(1).cache()
+      val sample = graft.explain.ClusterExplainer.fitSample(
+          feats, Seq("image_id"), graft.explain.SomClustering.DefaultMaxFit)
+        .select(PipelineCache.scoreNames.map(col): _*).cache()
       val model =
         try graft.explain.SomClustering.fit(sample, PipelineCache.scoreNames)
         finally sample.unpersist()

@@ -28,8 +28,10 @@ object ClusterExplainer {
     * scheduling overhead per iteration. The FIT is bounded at any corpus
     * size; assignment/transform stays partition-parallel over the full
     * input. (The reference likewise clusters only the suspicious subset,
-    * DQTestToolHelper.py:251-256.) */
-  private def fitSample(assembled: DataFrame, hashCols: Seq[String], maxFit: Int): DataFrame =
+    * DQTestToolHelper.py:251-256.) Shared by every bounded fit in the
+    * repo (KMeans here, the batch SOM, the SOM oracle fixture) so the
+    * sampling contract cannot drift between them. */
+  private[graft] def fitSample(assembled: DataFrame, hashCols: Seq[String], maxFit: Int): DataFrame =
     assembled.orderBy(xxhash64(hashCols.map(col): _*))
       .limit(maxFit).coalesce(1)
 

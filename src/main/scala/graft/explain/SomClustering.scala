@@ -39,6 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object SomClustering {
 
+  /** Default bounded-fit sample size, shared with the SOM oracle
+    * fixture writer so the two cannot drift. */
+  val DefaultMaxFit: Int = 10000
+
   /** Trained map: `weights(u)` is the codebook vector of unit `u`;
     * grid location of `u` is (u / n, u % n) in row-major order, the
     * reference's `_neuron_locations` enumeration (SOM.py:144-152). */
@@ -61,6 +65,8 @@ object SomClustering {
     * in-order sum any other engine computes); ties take the lowest
     * unit index via array_position's first-match semantics. */
   def bmuColumn(weights: Array[Array[Double]], features: Column): Column = {
+    require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
+      "codebook must be non-empty with uniform dimension")
     val codebook = typedlit(weights.map(_.toSeq).toSeq)
     val dists = transform(codebook, wv =>
       aggregate(zip_with(wv, features, (a, b) => (a - b) * (a - b)),
@@ -69,9 +75,19 @@ object SomClustering {
   }
 
   /** Fit the map. Epochs are Spark jobs over `data`; per epoch the only
-    * shuffle carries m·n keys × (dim+1) doubles, so an epoch costs one
-    * scan regardless of corpus size — the scale contract. The smoothing
-    * matrix is m·n × m·n on the driver (25×25 here), negligible.
+    * shuffle carries (partition × m·n) keys × (dim+1) doubles, so an
+    * epoch costs one scan regardless of corpus size — the scale
+    * contract. The smoothing matrix is m·n × m·n on the driver (25×25
+    * here), negligible.
+    *
+    * DETERMINISM: the per-epoch partials are keyed by
+    * (input-partition-id, bmu) and the driver folds them in that sorted
+    * order, so the floating-point summation order — and therefore the
+    * fitted codebook — is bit-reproducible for any FIXED input
+    * partitioning (a plain groupBy(bmu) would merge map-side partials
+    * in shuffle-fetch order, which a real cluster randomizes run to
+    * run). Repartitioning the input differently still changes the sums
+    * at last-ulp, as with any distributed FP reduce.
     *
     * `data` should be cached by the caller if it is not a trivial scan
     * (fit reads it `epochs` times). */
@@ -104,16 +120,18 @@ object SomClustering {
       val sigT = sig0 * (1.0 - t.toDouble / epochs)
       val sumCols = (0 until dim).map(i => sum(col("arr")(i)).as(s"s$i"))
       val partials = assembled
-        .groupBy(bmuColumn(w, col("arr")).as("bmu"))
+        .groupBy(spark_partition_id().as("pid"),
+          bmuColumn(w, col("arr")).as("bmu"))
         .agg(count(lit(1)).as("cnt"), sumCols: _*)
         .collect()
+        .sortBy(r => (r.getInt(0), r.getInt(1)))
       val cnt = Array.fill(units)(0L)
       val sums = Array.fill(units)(Array.fill(dim)(0.0))
       partials.foreach { r =>
-        val b = r.getInt(0)
-        cnt(b) = r.getLong(1)
+        val b = r.getInt(1)
+        cnt(b) += r.getLong(2)
         var i = 0
-        while (i < dim) { sums(b)(i) = r.getDouble(2 + i); i += 1 }
+        while (i < dim) { sums(b)(i) += r.getDouble(3 + i); i += 1 }
       }
       val s2 = sigT * sigT
       w = Array.tabulate(units) { j =>
@@ -144,12 +162,18 @@ object SomClustering {
       data: DataFrame,
       idCol: String,
       featureCols: Seq[String],
-      model: SomModel): DataFrame =
+      model: SomModel): DataFrame = {
+    // fail fast: zip_with pads the shorter array with nulls, so a
+    // feature list whose length differs from the codebook dim would
+    // otherwise emit silent all-NULL bmu_unit
+    require(featureCols.size == model.dim,
+      s"got ${featureCols.size} feature columns for a dim-${model.dim} codebook")
     data.select(col(idCol),
       bmuColumn(model.weights,
         array(featureCols.map(c => col(c).cast("double")): _*)).as("bmu_unit"))
       .withColumn("bmu_row", (col("bmu_unit") / model.n).cast("int"))
       .withColumn("bmu_col", pmod(col("bmu_unit"), lit(model.n)).cast("int"))
+  }
 
   /** M9 end-to-end with the repo's sanctioned fit policy (bounded
     * deterministic hash-ordered fit sample, full-parallel assignment —
@@ -165,16 +189,15 @@ object SomClustering {
       n: Int = 5,
       epochs: Int = 20,
       seed: Long = 42L,
-      maxFit: Int = 10000): DataFrame = {
+      maxFit: Int = DefaultMaxFit): DataFrame = {
     // hash-order on the row id, NOT the score vector: score vectors are
     // heavily duplicated (pure fault signatures), and hash-ordering on
     // them would sort whole signatures before others — the bounded
-    // sample must stay representative of every family
-    val sample = faulty
-      .orderBy(xxhash64(col("image_id")))
-      .limit(maxFit)
+    // sample must stay representative of every family. The sampling
+    // policy itself is ClusterExplainer.fitSample, shared with KMeans.
+    val sample = ClusterExplainer.fitSample(faulty, Seq("image_id"), maxFit)
       .select(scoreCols.map(c => col(c).cast("double")): _*)
-      .coalesce(1).cache()
+      .cache()
     val model =
       try fit(sample, scoreCols, m, n, epochs, seed = seed)
       finally sample.unpersist()

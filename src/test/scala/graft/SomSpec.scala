@@ -29,6 +29,29 @@ class SomSpec extends AnyFunSuite {
     assert(m1.weights.flatten.toSeq == m2.weights.flatten.toSeq)
   }
 
+  test("fit is deterministic over multi-partition input (pid-ordered reduce)") {
+    // the per-epoch partials are keyed by (partition, bmu) and folded
+    // in sorted order on the driver, so the same input layout must give
+    // a bit-identical codebook no matter how shuffle fetch interleaves;
+    // hash-repartitioned input keeps the layout itself deterministic
+    val df = (1 to 300).map(i => (i, 0.1 * (i % 11), 0.05 * (i % 6)))
+      .toDF("id", "a", "b").repartition(7, col("id")).cache()
+    df.count()
+    val m1 = SomClustering.fit(df, Seq("a", "b"), m = 3, n = 3, epochs = 6)
+    val m2 = SomClustering.fit(df, Seq("a", "b"), m = 3, n = 3, epochs = 6)
+    df.unpersist()
+    assert(m1.weights.flatten.toSeq == m2.weights.flatten.toSeq)
+  }
+
+  test("assign rejects a feature list that does not match the codebook dim") {
+    val df = Seq(("im1", 1.0, 2.0)).toDF("image_id", "a", "b")
+    val model = SomClustering.SomModel(2, 2, 3,
+      SomClustering.initWeights(2, 2, 3, 1L))
+    intercept[IllegalArgumentException] {
+      SomClustering.assign(df, "image_id", Seq("a", "b"), model)
+    }
+  }
+
   test("sigma→0 batch epoch is exactly one Lloyd (k-means) step") {
     // with σ tiny, exp(−d²/σ²) underflows to 0 for every off-BMU unit,
     // so the smoothed update degenerates to the per-BMU mean — Lloyd's
