@@ -120,6 +120,10 @@ object PipelineQueries {
 
   private def writeSimhashFixture(s: SparkSession): Unit = writeOnce(simhashFixturePath) {
     PipelineCache.images(s, N)
+      // same token-free exclusion as Dedup.simhashPairs: letter-free
+      // captions all fingerprint to 0L with no similarity signal, so the
+      // operator skips them and the oracle must see the same population
+      .filter(col("caption").rlike("\\p{L}"))
       .select(col("image_id"),
         org.apache.spark.sql.graft.Exprs.simhash64(col("caption")).as("simhash"))
       .coalesce(1).write.mode("overwrite").parquet(simhashFixturePath)

@@ -112,6 +112,36 @@ object Scorer {
   val scoreNames: Seq[String] =
     ruleColumns.map(_._1) ++ Seq("score_pii", "score_langid", "score_ppl", "score_dup")
 
+  /** score_langid formula — SHARED by the batch path and
+    * [[graft.streaming.StreamScore]] so the calibration constants can
+    * never drift between them. */
+  def langidScoreCol(caption: Column, langId: Broadcast[LangIdModel]): Column =
+    least(lit(1.0), greatest(lit(0.0),
+      (lit(0.7) - Exprs.langidAcceptedProb(caption, langId)) / lit(0.4)))
+
+  /** Per-predicted-language perplexity reference as a map literal
+    * (sorted for a deterministic expression tree). */
+  def pplRefMapCol(pplRefByLang: Map[String, Double]): Column =
+    if (pplRefByLang.isEmpty) map()
+    else map(pplRefByLang.toSeq.sortBy(_._1)
+      .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
+
+  /** score_ppl formula — shared by batch and streaming. */
+  def pplScoreCol(pplRaw: Column, predLang: Column,
+      pplRefByLang: Map[String, Double], pplRefGlobal: Double): Column =
+    least(lit(1.0), greatest(lit(0.0),
+      (pplRaw / coalesce(element_at(pplRefMapCol(pplRefByLang), predLang),
+        lit(pplRefGlobal)) - lit(2.5)) / lit(2.0)))
+
+  /** scrubbed_caption + derived score_pii, in application order (the
+    * scrub chain evaluates exactly once per row; score_pii reads the
+    * already-materialized scrubbed column) — shared by batch and
+    * streaming. */
+  def scrubPiiColumns(caption: Column): Seq[(String, Column)] = Seq(
+    "scrubbed_caption" -> Exprs.scrubAll(caption),
+    "score_pii" ->
+      when(col("scrubbed_caption") =!= caption, lit(1.0)).otherwise(lit(0.0)))
+
   /** Raw per-row model signals — the expensive, caption-scanning pass,
     * computed ONCE and reusable across refit rounds: heuristic rule
     * scores, raw perplexity (`ppl_raw`), predicted language
@@ -127,19 +157,17 @@ object Scorer {
     // under the threshold and shuffle-joins otherwise (PlanSpec gates
     // that no hint is present).
     val dup = dupDropIds.withColumn("__is_dup", lit(1.0))
-    rules.foldLeft(images) { case (df, (name, c)) => df.withColumn(name, c) }
+    val base = rules.foldLeft(images) { case (df, (name, c)) => df.withColumn(name, c) }
       .withColumn("pred_lang", Exprs.langidBest(col("caption"), m.langId))
       .withColumn("ppl_raw", Exprs.perplexity(col("caption"), m.lm))
-      .withColumn("score_langid", least(lit(1.0), greatest(lit(0.0),
-        (lit(0.7) - Exprs.langidAcceptedProb(col("caption"), m.langId)) / lit(0.4))))
+      .withColumn("score_langid", langidScoreCol(col("caption"), m.langId))
       .join(dup, Seq("image_id"), "left")
       .withColumn("score_dup", coalesce(col("__is_dup"), lit(0.0)))
       .drop("__is_dup")
-      // single-pass native scrub; score_pii derives from it so the chain
-      // runs exactly once per row (was 3×: scrub + piiScore's 2 evals)
-      .withColumn("scrubbed_caption", Exprs.scrubAll(col("caption")))
-      .withColumn("score_pii",
-        when(col("scrubbed_caption") =!= col("caption"), lit(1.0)).otherwise(lit(0.0)))
+    // single-pass native scrub; score_pii derives from it so the chain
+    // runs exactly once per row (was 3×: scrub + piiScore's 2 evals)
+    scrubPiiColumns(col("caption"))
+      .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
   }
 
   /** Finish scoring from raw signals given a (possibly per-round
@@ -152,13 +180,8 @@ object Scorer {
       pplRefByLang: Map[String, Double],
       pplRefGlobal: Double,
       labelOffset: Option[Column] = None): DataFrame = {
-    val refMap =
-      if (pplRefByLang.isEmpty) map()
-      else map(pplRefByLang.toSeq.sortBy(_._1)
-        .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
-    val withPpl = raw.withColumn("score_ppl", least(lit(1.0), greatest(lit(0.0),
-      (col("ppl_raw") / coalesce(element_at(refMap, col("pred_lang")), lit(pplRefGlobal))
-        - lit(2.5)) / lit(2.0))))
+    val withPpl = raw.withColumn("score_ppl",
+      pplScoreCol(col("ppl_raw"), col("pred_lang"), pplRefByLang, pplRefGlobal))
     val base = greatest(scoreNames.map(col): _*)
     withPpl
       .withColumn("invalidity_score",

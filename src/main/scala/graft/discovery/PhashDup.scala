@@ -60,8 +60,17 @@ object PhashDup {
       j <- (i + 1) until blocks
     } yield xxhash64(lit(i * blocks + j), blockExprs(i), blockExprs(j))
 
+    // The run-scan keys on STRING ids (one tuple encoder for any input).
+    // For a non-string id column, string order diverges from the native
+    // order (e.g. "10" < "2"), so the scan's id1<id2 and the keep-first
+    // min would silently become lexicographic and the output ids would
+    // change type — the original ids are restored by an output-sized
+    // join below instead (same pattern as Similarity.cosineNearDupPairs);
+    // the common contracted shape (string image_id) skips all of it.
+    val idIsString =
+      images.schema(idCol).dataType == org.apache.spark.sql.types.StringType
     val banded = images
-      .select(col(idCol).as("id"), col(phashCol).as("ph"),
+      .select(col(idCol).cast("string").as("id"), col(phashCol).as("ph"),
         explode(array(pairKeys: _*)).as("key"))
 
     // ONE shuffle + sort: cluster the exploded rows by bucket key, then
@@ -74,7 +83,7 @@ object PhashDup {
     val maxBucket = 4096
     val spark = images.sparkSession
     import spark.implicits._
-    banded
+    val scanned = banded
       .repartition(col("key"))
       .sortWithinPartitions("key")
       .select(col("key"), col("id"), col("ph"))
@@ -109,6 +118,21 @@ object PhashDup {
         }
       }
       .toDF("id1", "id2", "hamming")
+    if (idIsString) scanned
+    else {
+      // restore the caller's original id type/order: the pairs side is
+      // OUTPUT-sized, so AQE broadcasts these joins at runtime
+      val ids = images
+        .select(col(idCol).cast("string").as("k"), col(idCol).as("orig"))
+        .distinct()
+      scanned
+        .join(ids.select(col("k").as("id1"), col("orig").as("__o1")), Seq("id1"))
+        .join(ids.select(col("k").as("id2"), col("orig").as("__o2")), Seq("id2"))
+        .select(
+          least(col("__o1"), col("__o2")).as("id1"),
+          greatest(col("__o1"), col("__o2")).as("id2"),
+          col("hamming"))
+    }
   }
 
   /** Ids to drop: for every verified pair keep the smaller id

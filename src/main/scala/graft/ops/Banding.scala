@@ -14,12 +14,23 @@ import org.apache.spark.sql.functions._
   * slow sort-based path at >128 keys per partition).
   *
   * Degenerate keys (a band key shared by a mass-duplicate cluster — the
-  * web-scale n² landmine) are CAPPED: each run pairs only its first
-  * `maxBucket` members (deterministic: smallest ids), so per-key work is
-  * ≤ maxBucket²/2 no matter how hot the key. Giant exact-duplicate
-  * groups should be collapsed by [[Dedup.exactKeepFirst]] /
-  * fingerprint dedup before near-dup mining — pair OUTPUT over a group
-  * of g duplicates is inherently O(g²).
+  * web-scale n² landmine) are CAPPED, with a deliberately different
+  * policy per scan shape:
+  *  - [[candidatePairs]] (slim candidates feeding a verify JOIN) pairs
+  *    only its first `maxBucket` members per run (deterministic:
+  *    smallest ids) and overflow rows get NO candidates from that key —
+  *    candidate VOLUME is this shape's cost, and the strict cap bounds
+  *    per-key work at maxBucket²/2 no matter how hot the key.
+  *  - [[cosinePairs]] (verify fused into the scan, only TRUE pairs
+  *    leave) additionally scores every overflow row against the
+  *    retained run — the [[graft.discovery.PhashDup]] policy, so only
+  *    overflow×overflow pairs can be lost; per-row work stays ≤
+  *    maxBucket comparisons and the extra output is true near-dup
+  *    pairs, which is the operator's honest result anyway.
+  * Giant exact-duplicate groups should be collapsed by
+  * [[Dedup.exactKeepFirst]] / fingerprint dedup before near-dup
+  * mining — pair OUTPUT over a group of g duplicates is inherently
+  * O(g²).
   */
 object Banding {
 
@@ -132,31 +143,34 @@ object Banding {
               if (!haveKey || key != curKey) {
                 ids.clear(); vecs.clear(); norms.clear(); curKey = key; haveKey = true
               }
-              if (ids.length < maxBucket) {
-                val nv = normOf(v)
-                var i = 0
-                while (i < ids.length) {
-                  // sorted within the run: ids(i) <= id; equal ids can
-                  // only come from duplicate input rows — skip self-pairs.
-                  // Length-mismatched vectors are skipped too: the
-                  // candidates-join shape's zip_with null-pads ragged
-                  // arrays into a null cosine that its filter drops, so
-                  // a truncated-prefix dot here would fabricate a pair
-                  // the join shape (and the exact-cosine soundness
-                  // oracle) never emits.
-                  if (ids(i) != id && vecs(i).length == v.length) {
-                    val ov = vecs(i)
-                    var dot = 0.0; var d = 0
-                    val n = v.length
-                    while (d < n) { dot += ov(d).toDouble * v(d).toDouble; d += 1 }
-                    val denom = norms(i) * nv
-                    val cos = if (denom > 0.0) dot / denom else -1.0
-                    if (cos >= threshold) out += ((ids(i), id, cos))
-                  }
-                  i += 1
+              // EVERY row — retained or overflow — scores against the
+              // retained run (the PhashDup cap policy the operator doc
+              // promises: only overflow×overflow pairs can be lost);
+              // only the first maxBucket rows JOIN the run.
+              val nv = normOf(v)
+              var i = 0
+              while (i < ids.length) {
+                // sorted within the run: ids(i) <= id; equal ids can
+                // only come from duplicate input rows — skip self-pairs.
+                // Length-mismatched vectors are skipped too: the
+                // candidates-join shape's zip_with null-pads ragged
+                // arrays into a null cosine that its filter drops, so
+                // a truncated-prefix dot here would fabricate a pair
+                // the join shape (and the exact-cosine soundness
+                // oracle) never emits.
+                if (ids(i) != id && vecs(i).length == v.length) {
+                  val ov = vecs(i)
+                  var dot = 0.0; var d = 0
+                  val n = v.length
+                  while (d < n) { dot += ov(d).toDouble * v(d).toDouble; d += 1 }
+                  val denom = norms(i) * nv
+                  val cos = if (denom > 0.0) dot / denom else -1.0
+                  if (cos >= threshold) out += ((ids(i), id, cos))
                 }
-                ids += id; vecs += v; norms += nv
-              } else truncated.foreach(_.add(1L))
+                i += 1
+              }
+              if (ids.length < maxBucket) { ids += id; vecs += v; norms += nv }
+              else truncated.foreach(_.add(1L))
             }
           }
           def hasNext: Boolean = { advance(); out.nonEmpty }

@@ -180,14 +180,23 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: compute the 64-bit fingerprint, then
     * reuse the guaranteed-recall block-pair banding from
-    * [[graft.discovery.PhashDup]] (same Hamming-join shape). */
+    * [[graft.discovery.PhashDup]] (same Hamming-join shape).
+    *
+    * Token-free documents are excluded up front (same guard as the
+    * size(sh) > 0 filters in [[minhashPairs]]/[[ngramJaccardPairs]]):
+    * simhash64 normalizes away every non-letter, so digits-only /
+    * punctuation-only / empty captions all fingerprint to 0L and would
+    * otherwise be reported as hamming-0 duplicates of each other — a
+    * degenerate all-zero bucket with no similarity signal behind it. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("image_id"),
-      org.apache.spark.sql.graft.Exprs.simhash64(col(textCol)).as("phash"))
+    val fp = df
+      .filter(col(textCol).rlike("\\p{L}"))
+      .select(col(idCol).as("image_id"),
+        org.apache.spark.sql.graft.Exprs.simhash64(col(textCol)).as("phash"))
     graft.discovery.PhashDup.duplicatePairs(fp, maxHamming = maxHamming)
   }
 

@@ -261,7 +261,12 @@ object Similarity {
     *    dedup's job first in a real pipeline).
     *  - the vector rides the banding exchange once per table; only TRUE
     *    near-dup pairs leave the scan, then re-join on id solely to
-    *    restore the caller's original id type. */
+    *    restore the caller's original id type (skipped when vec_id is
+    *    already a string).
+    *  - the embeddings lineage is scanned once per table (plus once for
+    *    the auto-nPlanes count); if the embedding column comes from an
+    *    expensive upstream job (decode/feature extraction), persist it
+    *    before calling. */
   def cosineNearDupPairs(
       embeddings: DataFrame, // (vec_id, embedding)
       dim: Int,
@@ -294,21 +299,29 @@ object Similarity {
         xxhash64(lit(t), sigCol(col("v"), planes)).as("key"), col("v"))
     }.reduce(_ unionByName _)
     val pairs = graft.ops.Banding.cosinePairs(keyed, maxBucket, threshold)
-    // Banding keyed (and pair-ordered) on STRING ids; the id-restore
-    // joins carry each side's ORIGINAL vec_id back so the output
-    // preserves the caller's id type and ordering (a cast('long') here
-    // turned non-numeric ids into silent NULLs), with least/greatest on
-    // the original values restoring canonical id1 < id2. Only TRUE
-    // near-dup pairs reach these joins, so the pairs side is
-    // output-sized (AQE broadcasts it at runtime — no forced hint).
-    val ids = emb.select(col("id"), col("__orig"))
-    pairs
-      .join(ids.select(col("id").as("id1"), col("__orig").as("__o1")), Seq("id1"))
-      .join(ids.select(col("id").as("id2"), col("__orig").as("__o2")), Seq("id2"))
-      .select(
-        least(col("__o1"), col("__o2")).as("id1"),
-        greatest(col("__o1"), col("__o2")).as("id2"),
-        col("cos"))
+    // Banding keyed (and pair-ordered) on STRING ids. When the caller's
+    // vec_id already IS a string, the scan's ids and ordering are the
+    // caller's — skip the restore entirely (two joins and two extra
+    // scans of the embeddings lineage saved on the contracted shape).
+    // Otherwise the id-restore joins carry each side's ORIGINAL vec_id
+    // back so the output preserves the caller's id type and ordering (a
+    // cast('long') here turned non-numeric ids into silent NULLs), with
+    // least/greatest on the original values restoring canonical
+    // id1 < id2. Only TRUE near-dup pairs reach these joins, so the
+    // pairs side is output-sized (AQE broadcasts it at runtime — no
+    // forced hint).
+    if (embeddings.schema("vec_id").dataType ==
+        org.apache.spark.sql.types.StringType) pairs
+    else {
+      val ids = emb.select(col("id"), col("__orig"))
+      pairs
+        .join(ids.select(col("id").as("id1"), col("__orig").as("__o1")), Seq("id1"))
+        .join(ids.select(col("id").as("id2"), col("__orig").as("__o2")), Seq("id2"))
+        .select(
+          least(col("__o1"), col("__o2")).as("id1"),
+          greatest(col("__o1"), col("__o2")).as("id2"),
+          col("cos"))
+    }
   }
 
   /** Deterministic synthetic embeddings with seeded near-duplicate pairs

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count; 0 for empty/whitespace-only text (a bare
+    * split("") yields [""], i.e. 1 — the q22 DuckDB oracle's
+    * REGEXP_EXTRACT_ALL count has always said 0); null text stays null. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish token count: GPT-style pre-tokenizer classes (letter runs,
     * digit runs, single punctuation marks). */

@@ -27,27 +27,22 @@ object StreamScore {
     * for minority languages and flip keep/drop vs batch. */
   def scoreStream(stream: DataFrame, m: Scorer.Models, threshold: Double): DataFrame = {
     import org.apache.spark.sql.graft.Exprs
-    val refMap =
-      if (m.pplRefByLang.isEmpty) map()
-      else map(m.pplRefByLang.toSeq.sortBy(_._1)
-        .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
+    // every formula below IS the batch path's (Scorer.langidScoreCol /
+    // pplScoreCol / scrubPiiColumns / withDecision) — shared builders,
+    // not copies, so a batch recalibration cannot silently diverge
+    // streaming keep/drop decisions (StreamingSpec asserts 1e-12 parity)
     val rules = Scorer.ruleColumns
-    val withCols = rules.foldLeft(stream) { case (df, (n, c)) => df.withColumn(n, c) }
-      .withColumn("score_langid", least(lit(1.0), greatest(lit(0.0),
-        (lit(0.7) - Exprs.langidAcceptedProb(col("caption"), m.langId)) / lit(0.4))))
-      .withColumn("score_ppl", least(lit(1.0), greatest(lit(0.0),
-        (Exprs.perplexity(col("caption"), m.lm) /
-          coalesce(element_at(refMap, Exprs.langidBest(col("caption"), m.langId)),
-            lit(m.pplRef)) - lit(2.5)) / lit(2.0))))
-      // same single-pass scrub + derived score_pii as the batch path
-      .withColumn("scrubbed_caption", Exprs.scrubAll(col("caption")))
-      .withColumn("score_pii",
-        when(col("scrubbed_caption") =!= col("caption"), lit(1.0)).otherwise(lit(0.0)))
+    val scored = rules.foldLeft(stream) { case (df, (n, c)) => df.withColumn(n, c) }
+      .withColumn("score_langid", Scorer.langidScoreCol(col("caption"), m.langId))
+      .withColumn("score_ppl", Scorer.pplScoreCol(
+        Exprs.perplexity(col("caption"), m.lm),
+        Exprs.langidBest(col("caption"), m.langId), m.pplRefByLang, m.pplRef))
+    val withPii = Scorer.scrubPiiColumns(col("caption"))
+      .foldLeft(scored) { case (df, (n, c)) => df.withColumn(n, c) }
     val names = rules.map(_._1) ++ Seq("score_pii", "score_langid", "score_ppl")
-    withCols
-      .withColumn("invalidity_score", greatest(names.map(col): _*))
-      .withColumn("decision",
-        when(col("invalidity_score") >= threshold, "drop").otherwise("keep"))
+    Scorer.withDecision(
+      withPii.withColumn("invalidity_score", greatest(names.map(col): _*)),
+      threshold)
   }
 
   /** Windowed drop-rate audit metrics with watermark — the streaming

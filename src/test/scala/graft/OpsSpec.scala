@@ -36,6 +36,17 @@ class OpsSpec extends AnyFunSuite {
     seededDupPairs.foreach(p => assert(found.contains(p), s"missed $p"))
   }
 
+  test("simhash excludes token-free documents (no hamming-0 zero bucket)") {
+    // digits-only / punctuation-only / empty captions all normalize to
+    // "" and fingerprint to 0L — unrelated docs must not pair up
+    val df = Seq(("d1", "12345"), ("d2", "!!! ???"), ("d3", ""),
+      ("d4", "a real caption of a dog"), ("d5", "a real caption of a dog"))
+      .toDF("image_id", "caption")
+    val pairs = Dedup.simhashPairs(df, "image_id", "caption")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("d4", "d5")), s"got $pairs")
+  }
+
   test("ngram jaccard pairs include seeded dups with jaccard 1.0") {
     val pairs = Dedup.ngramJaccardPairs(images, "image_id", "caption")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
@@ -191,6 +202,16 @@ class OpsSpec extends AnyFunSuite {
       TextAnalysis.bpeishTokenCount(col("text"))).head()
     assert(r.getInt(0) == 4) // hello | world, | 42 | times!
     assert(r.getInt(1) == 6) // hello | world | , | 42 | times | !
+  }
+
+  test("token count is 0 for empty/whitespace text, null for null") {
+    // split("") yields [""] — the raw size() would say 1; the q22 DuckDB
+    // oracle's REGEXP_EXTRACT_ALL count has always said 0
+    val df = Seq(Some(""), Some("   "), Some("one two"), None)
+      .toDF("text")
+    val got = df.select(TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got.toSeq == Seq(Some(0), Some(0), Some(2), None))
   }
 
   test("fingerprint is whitespace/case insensitive") {
@@ -412,6 +433,21 @@ class OpsSpec extends AnyFunSuite {
     val pairs = graft.ops.Banding.cosinePairs(keyed, 16, 0.9)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(pairs.toSet == Set(("a", "c")))
+  }
+
+  test("banding cosine scan: overflow rows still score against the retained run") {
+    // cap 2: rows c,d overflow the bucket — the PhashDup cap policy
+    // (promised by cosineNearDupPairs' doc) pairs them against the
+    // retained {a,b}; only overflow×overflow (c,d) may be lost
+    val v = Array(1.0f, 0.0f)
+    val keyed = Seq((1L, "a", v), (1L, "b", v), (1L, "c", v), (1L, "d", v))
+      .toDF("key", "id", "v")
+    val acc = spark.sparkContext.longAccumulator("cosCap")
+    val pairs = graft.ops.Banding.cosinePairs(keyed, 2, 0.9, Some(acc))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")),
+      s"got $pairs")
+    assert(acc.value > 0, "overflow must still be observable")
   }
 
   test("multimodal: explodeBytes emits one (id,i,v) row per SIGNED byte") {

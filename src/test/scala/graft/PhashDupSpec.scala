@@ -32,6 +32,19 @@ class PhashDupSpec extends AnyFunSuite {
     dropped.foreach(id => assert(faultyIds.contains(id), s"clean row dropped: $id"))
   }
 
+  test("numeric ids keep their type and NATIVE keep-first order") {
+    // string order would say "10" < "2" and drop the wrong side; the
+    // restore join must give (2, 10) with bigint columns and drop 10
+    val df = Seq((2L, 0L), (10L, 1L)).toDF("image_id", "phash")
+    val pairs = PhashDup.duplicatePairs(df)
+    assert(pairs.schema("id1").dataType ==
+      org.apache.spark.sql.types.LongType, "id type must be preserved")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 10L)), s"got $got")
+    val dropped = PhashDup.dropIds(df).as[Long].collect().toSet
+    assert(dropped == Set(10L), s"keep-first must keep the numeric min: $dropped")
+  }
+
   test("hamming filter: distances > 4 are excluded") {
     val df = Seq(
       ("a", 0L), ("b", 0x1FL /* hamming 5 from a */), ("c", 0x3L /* 2 from a */))
