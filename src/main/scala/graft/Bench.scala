@@ -651,12 +651,23 @@ object Bench {
             s"""{"failed_queries":$n,"first":"$firstKey"}""")
         }
       }
-      // staged drops, least-essential first; stage 3 replaces the query
-      // map with a marker so the truncation is visible, never silent
+      // staged drops, least-essential first. With 55 registered queries
+      // the weather-stripped line sits ~100 chars over the window, so a
+      // stage shedding DERIVABLE/secondary fields (sf is the driver's
+      // own input; images_per_sec_* = rows/score_sec; median/low-max
+      // pair are context next to the gate value and its high-pair
+      // crosscheck, which stay) comes BEFORE sacrificing the per-query
+      // map; the last resort replaces the query map with a marker so
+      // the truncation is visible, never silent
+      val secondary = Set("sf", "scaling_efficiency_median_pair",
+        "scaling_efficiency_low_max_pair", "images_per_sec_low",
+        "images_per_sec_high", "ann_brute_sec", "ann_lsh_sec")
       val dropStages = Seq(
         Set.empty[String],
         Set("scaling_pair_ratios"),
         Set("scaling_pair_ratios", "queries_weather", "dedup_weather"),
+        Set("scaling_pair_ratios", "queries_weather", "dedup_weather")
+          ++ secondary,
         Set("scaling_pair_ratios", "queries_weather", "dedup_weather",
           "queries"))
       def compactLine(drop: Set[String]): String = render(fields.filter {

@@ -70,13 +70,17 @@ object Scorer {
     * table with updated statuses (testScript.py:43 →
     * DQTestToolHelper.py:130); here the expensive LM/langid state is
     * reused and the reference quantiles refit. */
-  def recalibrate(rawBelievedClean: DataFrame): (Map[String, Double], Double) = {
+  def recalibrate(rawBelievedClean: DataFrame,
+      fallback: (Map[String, Double], Double)): (Map[String, Double], Double) = {
     val perLang = rawBelievedClean
       .groupBy(col("pred_lang"))
       .agg(expr("percentile_approx(ppl_raw, 0.5D, 10000)").as("p50"),
         count(lit(1)).as("n"))
       .collect()
-    referenceFromRows(perLang)
+    // an EMPTY believed-clean population (every row known-faulty and
+    // confirmed) has no quantiles to offer — keep the previous reference
+    // instead of crashing on sorted.head
+    if (perLang.isEmpty) fallback else referenceFromRows(perLang)
   }
 
   /** Warm-start fit: reload checkpointed model state when present AND its

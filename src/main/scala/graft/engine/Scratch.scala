@@ -62,8 +62,21 @@ object Scratch {
       val name = f.getName
       val ownerDead = name match {
         case s if s.startsWith("p") && s.contains("-") =>
-          s.drop(1).takeWhile(_.isDigit).toLongOption
-            .exists(pid => !ProcessHandle.of(pid).isPresent)
+          s.drop(1).takeWhile(_.isDigit).toLongOption.exists { pid =>
+            // pid REUSE guard: a dead JVM's pid can be recycled by an
+            // unrelated process, which would keep its multi-GiB tmpfs
+            // dir resident forever (the exact leak this module exists
+            // to fix). The dir's owner is alive only if the pid exists
+            // AND is a JVM; a live non-java pid means the owner died
+            // and the number was recycled. (A java-reused pid is the
+            // residual false-keep — rare, and bounded by the next
+            // sweep after THAT process exits.)
+            val h = ProcessHandle.of(pid)
+            !(h.isPresent && {
+              val cmd = h.get().info().command()
+              !cmd.isPresent || cmd.get().endsWith("java")
+            })
+          }
         case s => (s.startsWith("blockmgr-") || s.startsWith("spark-")) &&
           newestMtime(f) < staleMs
       }

@@ -120,20 +120,30 @@ object GenericQuality {
           least(lit(1.0), greatest(lit(0.0), (z - lit(3.0)) / lit(zMax - 3.0))),
           lit(1.0))
       case (name, CategoricalStats(freq)) =>
-        val freqMap =
-          if (freq.isEmpty) map()
-          else map(freq.toSeq.sortBy(_._1)
-            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        // ONE MapType literal per column (typedlit), not a map() call
+        // with 2·levels literal children: at the 1024-level cap a wide
+        // table would otherwise put ~2k expression nodes per column into
+        // the plan (analysis blowup + 64KB codegen-method fallback on
+        // the hot scoring path); a single Literal is data, not plan
+        val freqMap = typedlit(freq)
         val v = coalesce(col(name).cast(StringType), lit("NULL"))
         // rare or unseen level -> high score (1 - relative frequency)
         s"score_$name" -> (lit(1.0) - coalesce(element_at(freqMap, v), lit(0.0)))
     }
 
-  /** Score every record: per-feature columns + record score = max (M7). */
+  /** Score every record: per-feature columns + record score = max (M7).
+    * greatest() requires ≥ 2 children, but the generic contract allows a
+    * 2-column table (id + ONE feature) — or even id-only — so the combine
+    * degenerates gracefully instead of failing analysis. */
   def withScores(df: DataFrame, model: Model): DataFrame = {
     val cols = scoreColumns(model)
     val withCols = cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
-    withCols.withColumn("invalidity_score", greatest(cols.map(c => col(c._1)): _*))
+    val combined = cols.map(c => col(c._1)) match {
+      case Seq() => lit(0.0)
+      case Seq(single) => single.cast("double")
+      case cs => greatest(cs: _*)
+    }
+    withCols.withColumn("invalidity_score", combined)
   }
 
   final case class RoundResult(

@@ -45,6 +45,19 @@ object ValidationRun {
   private def metricsPath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/metrics/round=$r"
   private def lineagePath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/lineage/round=$r"
   private def auditPath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/audit/round=$r"
+  private def thresholdPath(cfg: RunConfig, r: Int) = s"${cfg.outDir}/thresholds/round=$r"
+
+  /** A round is resumable only when EVERY artifact it writes exists —
+    * statuses alone are written first, so a crash between the status
+    * write and the metrics/audit/lineage writes must RE-RUN the round
+    * (all writes are overwrite-idempotent), not skip it: skipping left a
+    * permanent per-round hole that silently shortened the TPR history
+    * every later round's TPGR is computed over, and dropped the round's
+    * audit fixture from what the DuckDB oracle recomputes. */
+  private def roundComplete(spark: SparkSession, cfg: RunConfig, r: Int): Boolean =
+    Seq(statusPath(cfg, r), metricsPath(cfg, r), auditPath(cfg, r),
+      lineagePath(cfg, r), thresholdPath(cfg, r))
+      .forall(TableIO.exists(spark, _))
 
   /** Bounded wait on an Observation: the metrics must arrive with the
     * write action that carries them — if they ever fail to propagate,
@@ -100,13 +113,15 @@ object ValidationRun {
     def scoreRound(statuses: DataFrame): DataFrame = {
       val stRaw = raw.join(statuses, Seq("image_id"))
       val (byLang, global) = Scorer.recalibrate(
-        stRaw.filter(!col("status").startsWith("actualFault")))
+        stRaw.filter(!col("status").startsWith("actualFault")),
+        fallback = (models.pplRefByLang, models.pplRef))
       Scorer.scoresFromSignals(stRaw, byLang, global, Some(confirmedOffset))
     }
 
-    // Resume: last round whose status checkpoint completed.
+    // Resume: last round whose checkpoints ALL completed (see
+    // roundComplete — a partially-written round re-runs).
     val resumeFrom = (1 to cfg.rounds)
-      .takeWhile(r => TableIO.exists(spark, statusPath(cfg, r))).lastOption.getOrElse(0)
+      .takeWhile(r => roundComplete(spark, cfg, r)).lastOption.getOrElse(0)
     var statuses =
       if (resumeFrom == 0)
         images.select(col("image_id"), lit("clean").as("status"))
@@ -114,18 +129,22 @@ object ValidationRun {
 
     val metricsHist = scala.collection.mutable.ArrayBuffer.empty[Metrics.RunMetrics]
     val thresholds = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // Reload prior rounds' metrics so TPGR spans the full history on
-    // resume. Checkpoints written before the tpgr column existed stay
-    // resumable: the missing column reads as 0.0 (TPGR of a one-run
-    // history) instead of failing the whole resume on AnalysisException.
+    // Reload prior rounds' metrics AND thresholds so TPGR spans the full
+    // history on resume and RunResult.thresholds stays aligned 1:1 with
+    // RunResult.metrics (a resumed run previously returned a short
+    // thresholds list). Checkpoints written before the tpgr column
+    // existed stay resumable: the missing column reads as 0.0 (TPGR of a
+    // one-run history) instead of failing the whole resume on
+    // AnalysisException. roundComplete guarantees both paths exist for
+    // every resumed round.
     (1 to resumeFrom).foreach { r =>
-      if (TableIO.exists(spark, metricsPath(cfg, r))) {
-        val raw = TableIO.read(spark, metricsPath(cfg, r))
-        val compat =
-          if (raw.columns.contains("tpgr")) raw
-          else raw.withColumn("tpgr", lit(0.0))
-        metricsHist ++= compat.as[Metrics.RunMetrics].collect()
-      }
+      val raw = TableIO.read(spark, metricsPath(cfg, r))
+      val compat =
+        if (raw.columns.contains("tpgr")) raw
+        else raw.withColumn("tpgr", lit(0.0))
+      metricsHist ++= compat.as[Metrics.RunMetrics].collect()
+      thresholds += TableIO.read(spark, thresholdPath(cfg, r))
+        .head().getAs[Double]("threshold")
     }
 
     val n = cfg.n
@@ -207,6 +226,11 @@ object ValidationRun {
       // independent engine (the DuckDB oracle) can recompute every
       // TPR/FNR/PD/ND/UD/TPGR value from it.
       TableIO.createOrReplace(Seq(m).toDF(), metricsPath(cfg, r))
+      // threshold checkpoint (own tiny file, NOT a new metrics column —
+      // the qf_metrics_loop oracle fixture's schema stays frozen); read
+      // back on resume so thresholds align with metrics
+      TableIO.createOrReplace(Seq((r, t)).toDF("run", "threshold"),
+        thresholdPath(cfg, r))
       TableIO.createOrReplace(
         flagged.select(col("image_id"), col("is_susp"), col("is_known"),
           col("status").as("status_old"), col("status_new"),

@@ -1,6 +1,5 @@
 package graft.models
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Pluggable constraint-discovery model registry — the Spark survival of
@@ -25,9 +24,6 @@ trait ConstraintModel {
   * of the reference's saved model files
   * (DQTestToolHelper.py:109-111,136-143). */
 trait ModelState extends Serializable
-
-final case class LangIdState(model: Broadcast[LangIdModel]) extends ModelState
-final case class LMState(model: Broadcast[NGramLMModel], pplRef: Double) extends ModelState
 
 /** Named model-zoo dispatch — the Spark analog of the reference's
   * name → estimator map (M2, DQTestToolHelper.py:104-125). The generic

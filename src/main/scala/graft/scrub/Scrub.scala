@@ -41,10 +41,6 @@ object Scrub {
   def scrub(caption: Column): Column =
     rules.foldLeft(caption) { case (c, (_, pat, rep)) => regexp_replace(c, pat, rep) }
 
-  /** 1.0 when the caption contains any PII/toxicity (scrub changed it). */
-  def piiScore(caption: Column): Column =
-    when(scrub(caption) =!= caption, lit(1.0)).otherwise(lit(0.0))
-
   private val compiled: Array[(java.util.regex.Pattern, String)] =
     rules.map { case (_, pat, rep) =>
       (java.util.regex.Pattern.compile(pat), rep)

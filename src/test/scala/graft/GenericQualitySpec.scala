@@ -89,6 +89,31 @@ class GenericQualitySpec extends AnyFunSuite {
     assert(pds.zip(pds.tail).forall { case (a, b) => b >= a - 1e-9 }, pds.toString)
   }
 
+  test("single-feature table scores without greatest() arity failure") {
+    // the generic contract allows id + ONE feature column; greatest()
+    // needs >= 2 args, so the max-combine must degenerate gracefully
+    val df = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS rid",
+      "CASE WHEN id = 7 THEN 1000.0 ELSE CAST(id % 10 AS DOUBLE) END AS x")
+    val model = GenericQuality.fit(df, "rid")
+    val scored = GenericQuality.withScores(df, model)
+    val top = scored.orderBy(org.apache.spark.sql.functions.col(
+      "invalidity_score").desc).select("rid").head().getString(0)
+    assert(top == "7", s"outlier not ranked first: $top")
+    // degenerate id-only table: constant zero score, no crash
+    val idOnly = df.select("rid")
+    val m2 = GenericQuality.fit(idOnly, "rid")
+    val s2 = GenericQuality.withScores(idOnly, m2)
+    assert(s2.agg(org.apache.spark.sql.functions.max("invalidity_score"))
+      .head().getDouble(0) == 0.0)
+  }
+
+  test("recalibrate falls back when the believed-clean population is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("pred_lang", "ppl_raw")
+    val fb = (Map("en" -> 2.0), 3.0)
+    assert(graft.detect.Scorer.recalibrate(empty, fb) == fb)
+  }
+
   test("fromCsv: first column is the id, schema inferred") {
     val (df, _) = fixture(100)
     val path = "target/graft-generic-csv"

@@ -68,11 +68,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(maxScore > 1.0, s"no label-offset rescoring visible, max=$maxScore")
     assert(res.thresholds.size == 3)
     // resume: re-running with the same outDir skips all rounds and
-    // reproduces the same metrics history
+    // reproduces the same metrics history AND a full thresholds list
+    // (aligned 1:1 with metrics — a resumed run used to return fewer)
     val res2 = ValidationRun.run(spark, cfg)
     assert(res2.metrics.map(_.truePositiveRate) == tprs)
+    assert(res2.thresholds == res.thresholds,
+      s"resumed thresholds ${res2.thresholds} != ${res.thresholds}")
     // decisions still produced after a fully-resumed run
     assert(res2.decisions.count() == 1000L)
+    // crash-window resume: statuses written but metrics/audit/lineage
+    // missing (JVM died mid-round) must RE-RUN that round, not leave a
+    // permanent hole in the metrics history
+    PipelineLoop.deleteRecursively(new java.io.File(s"$dir/metrics/round=3"))
+    PipelineLoop.deleteRecursively(new java.io.File(s"$dir/audit/round=3"))
+    PipelineLoop.deleteRecursively(new java.io.File(s"$dir/lineage/round=3"))
+    val res3 = ValidationRun.run(spark, cfg)
+    assert(res3.metrics.size == 3, "partial round must be re-run, not skipped")
+    assert(res3.metrics.map(_.truePositiveRate) == tprs)
+    assert(res3.thresholds == res.thresholds)
+    assert(new java.io.File(s"$dir/metrics/round=3").exists())
+    assert(new java.io.File(s"$dir/audit/round=3").exists())
   }
 
   test("10-round loop matches the reference harness iteration count (testScript.py:29)") {
