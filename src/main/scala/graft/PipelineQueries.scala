@@ -292,11 +292,16 @@ object PipelineQueries {
         .select(col("video_id"), col("bytes")).as[(String, Array[Byte])]
         .flatMap { case (id, bytes) =>
           val idx = graft.ops.Multimodal.demuxMjpeg(bytes)
-          (0 until idx.length by videoEvery).iterator.map { f =>
+          (0 until idx.length by videoEvery).iterator.flatMap { f =>
             val (off, len) = idx(f)
-            val img = graft.ops.Multimodal.decodeImage(
-              java.util.Arrays.copyOfRange(bytes, off, off + len))
-            (id, f, graft.ops.Multimodal.pixelChannels(img))
+            // ImageIO.read returns null (not an exception) for an
+            // undecodable frame; skip it — the engine side sentinels
+            // the same frame decode_ok=false, so the oracle compare
+            // surfaces a row-level mismatch instead of this fixture
+            // writer crashing the whole Verify run
+            Option(graft.ops.Multimodal.decodeImage(
+              java.util.Arrays.copyOfRange(bytes, off, off + len)))
+              .map(img => (id, f, graft.ops.Multimodal.pixelChannels(img)))
           }
         }.toDF("video_id", "frame_idx", "pixels")
         .coalesce(1).write.mode("overwrite").parquet(framePixelsFixturePath)
@@ -794,10 +799,15 @@ object PipelineQueries {
     // would re-test the engines' timestamp codecs, not the windows.
     "qf_stream_window" -> ((s, _) => {
       // unique per-invocation scratch dir + sink name: two concurrent
-      // Verify runs must not collide on a fixed path/temp view
+      // Verify runs must not collide on a fixed path/temp view. Stale
+      // siblings (crashed runs — each invocation cleans its own scratch
+      // below) are swept best-effort once they are clearly not live.
+      Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft-qf-stream-") &&
+          f.lastModified() < System.currentTimeMillis() - 30 * 60 * 1000L)
+        .foreach(PipelineLoop.deleteRecursively)
       val runTag = java.util.UUID.randomUUID().toString.take(8)
       val dir = s"target/graft-qf-stream-$runTag"
-      PipelineLoop.deleteRecursively(new java.io.File(dir))
       ImageGen.images(s, GenConfig(n = 500L, parts = 4))
         .withColumn("ts", timestamp_millis(lit(1700000000000L) +
           substring(col("image_id"), 4, 9).cast("long") * 1000))
@@ -822,14 +832,25 @@ object PipelineQueries {
       }
       val agg = graft.streaming.StreamScore.windowedDropRate(scored, "ts")
       val sink = s"qf_stream_window_sink_$runTag"
-      s.catalog.dropTempView(sink)
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       q.processAllAvailable(); q.stop()
-      s.table(sink)
+      // materialize the tiny window table (one row per tumbling window)
+      // eagerly so the per-invocation scratch can be released HERE —
+      // returning a lazy plan over the memory sink would pin the temp
+      // view's rows in driver memory and the shard/checkpoint dirs on
+      // disk for the whole session (every invocation leaked one of each)
+      val out = s.table(sink)
         .select(unix_timestamp(col("window_start")).as("window_start"),
           col("rows_in"), col("rows_dropped"))
         .orderBy("window_start")
+      val rows = out.collect()
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+      s.catalog.dropTempView(sink): Unit
+      PipelineLoop.deleteRecursively(new java.io.File(dir))
+      PipelineLoop.deleteRecursively(new java.io.File(s"$dir-rows-ckpt"))
+      local
     }),
 
     // M9–M13: cluster the faulty rows + per-cluster decision-tree rules.
@@ -1515,8 +1536,9 @@ object PipelineLoop {
     * hit. */
   def reset(): Unit = synchronized { res = null }
 
-  def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  // delegate to the null-safe engine helper: listFiles() returns null
+  // when the directory vanishes between the isDirectory check and the
+  // listing (two concurrent Verify processes resetting the same scratch)
+  def deleteRecursively(f: java.io.File): Unit =
+    graft.engine.Scratch.deleteRecursively(f)
 }

@@ -65,6 +65,11 @@ object ClusterExplainer {
     sample.unpersist()
     val out = model.transform(assembled)
       .select(col("image_id"), col("prediction").as("cluster_id"))
+    // the cache served the sample count + KMeans fit; release it before
+    // returning (unpersist is lazy-safe — the caller's first action on
+    // `out` recomputes the cheap row→vector map once) so repeated calls
+    // in one session don't pin one faulty-frame copy each
+    assembled.unpersist()
     out
   }
 

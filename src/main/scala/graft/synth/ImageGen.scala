@@ -161,13 +161,22 @@ object ImageGen {
     val words = base.split(' ')
     val cut = 1 + rng.nextInt(math.max(1, words.length - 1))
     val email = s"user${java.lang.Math.floorMod(id, 100000L)}@example.com"
-    val phone = f"555-${100 + rng.nextInt(900)}%03d-${1000 + rng.nextInt(9000)}%04d"
+    val phone = String.format(java.util.Locale.ROOT, "555-%03d-%04d",
+      Int.box(100 + rng.nextInt(900)), Int.box(1000 + rng.nextInt(9000)))
     val pre = words.take(cut).mkString(" ")
     val post = words.drop(cut).mkString(" ")
     val cap = s"$pre contact $email or $phone $post".trim
     val scrubbed = s"$pre contact <EMAIL> or <PHONE> $post".trim
     (cap, scrubbed)
   }
+
+  /** Zero-padded row id with Locale.ROOT digits: the f-interpolator's
+    * %d renders through the DEFAULT locale's zero digit, so under a
+    * non-ASCII-digit numbering system the ids would come out non-ASCII
+    * and every substring-cast / sort-order contract built on them would
+    * silently break (same trap ClusterExplainer.Conjunct.render fixed). */
+  private[synth] def rowId(prefix: String, id: Long): String =
+    String.format(java.util.Locale.ROOT, "%s%09d", prefix, Long.box(id))
 
   /** Full row materialization — pure in (cfg, id). */
   def rowFor(cfg: GenConfig, id: Long): (ImageRow, String, String) = {
@@ -230,7 +239,7 @@ object ImageGen {
 
     if (expectedScrub == null) expectedScrub = caption
     val bytes = if (cfg.withBytes) encodeImage(seed, id, w, h, fmt) else null
-    (ImageRow(f"img$id%09d", bytes, w, h, fmt, caption, phash),
+    (ImageRow(rowId("img", id), bytes, w, h, fmt, caption, phash),
       if (fc == null) "" else fc, expectedScrub)
   }
 
@@ -297,7 +306,7 @@ object ImageGen {
     spark.range(0L, cfg.n, 1L, cfg.parts)
       .flatMap { id =>
         val fc = faultClass(cfg.seed, cfg.faultPct, id)
-        if (fc == null) None else Some(KnownFault(f"img$id%09d", fc))
+        if (fc == null) None else Some(KnownFault(rowId("img", id), fc))
       }
       .toDF()
   }
@@ -317,7 +326,7 @@ object ImageGen {
   def expectedPixelRows(spark: SparkSession, cfg: GenConfig): DataFrame = {
     import spark.implicits._
     spark.range(0L, cfg.n, 1L, cfg.parts)
-      .map(id => (f"img$id%09d", expectedPixels(cfg.seed, id)))
+      .map(id => (rowId("img", id), expectedPixels(cfg.seed, id)))
       .toDF("image_id", "pixels")
   }
 }

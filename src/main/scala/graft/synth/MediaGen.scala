@@ -80,7 +80,7 @@ object MediaGen {
   def audioRowFor(seed: Long, id: Long): AudioRow = {
     val pcm = samples(seed, id)
     val sr = sampleRate(seed, id)
-    AudioRow(f"aud$id%09d", wavBytes(sr, pcm), sr, pcm.length)
+    AudioRow(ImageGen.rowId("aud", id), wavBytes(sr, pcm), sr, pcm.length)
   }
 
   def audio(spark: SparkSession, n: Long, seed: Long = 42L,
@@ -178,7 +178,7 @@ object MediaGen {
 
   def videoRowFor(seed: Long, id: Long): VideoRow = {
     val (bytes, idx) = mjpegWithIndex(seed, id)
-    VideoRow(f"vid$id%09d", bytes, idx.length)
+    VideoRow(ImageGen.rowId("vid", id), bytes, idx.length)
   }
 
   def videos(spark: SparkSession, n: Long, seed: Long = 42L,
@@ -195,7 +195,7 @@ object MediaGen {
     spark.range(0L, n, 1L, parts).flatMap { id =>
       val (_, idx) = mjpegWithIndex(seed, id)
       idx.iterator.zipWithIndex.map { case ((off, len), f) =>
-        ExpectedFrame(f"vid$id%09d", f, off, len)
+        ExpectedFrame(ImageGen.rowId("vid", id), f, off, len)
       }
     }.toDF()
   }
