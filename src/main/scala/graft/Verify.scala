@@ -40,6 +40,10 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (k, _) => s(k) })
     selected.foreach { case (name, fn) =>
+      // drop any PRIOR run's output for this query first: a query that
+      // fails before its overwrite starts must leave an absent dir (a
+      // loud compare error), never a stale-but-green previous result
+      graft.engine.Scratch.deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

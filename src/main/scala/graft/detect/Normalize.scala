@@ -16,10 +16,13 @@ object Normalize {
   def l2(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.map(c => sqrt(sum(col(c) * col(c))).as(c))
     val norms = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+    // one withColumns projection (columns are independent); zero-norm
+    // columns pass through unchanged
+    val scaled = cols.zipWithIndex.flatMap { case (c, i) =>
       val n = if (norms.isNullAt(i)) 0.0 else norms.getDouble(i)
-      if (n > 0.0) d.withColumn(c, col(c) / lit(n)) else d
-    }
+      if (n > 0.0) Some(c -> (col(c) / lit(n))) else None
+    }.toMap
+    if (scaled.isEmpty) df else df.withColumns(scaled)
   }
 
   /** Per-feature conjunctive normal filter (P5): a record is normal iff
@@ -34,6 +37,10 @@ object Normalize {
       recordThreshold: Double): DataFrame = {
     val percs = scoreCols.map(c => expr(s"percentile($c, 0.5D)").as(c))
     val medians = df.agg(percs.head, percs.tail: _*).head()
+    // an empty frame (or an all-null column) yields a null percentile —
+    // nothing can satisfy the conjunct, so the result is the empty frame
+    // (same null guard convention as l2 above), not an NPE
+    if (scoreCols.indices.exists(medians.isNullAt)) return df.limit(0)
     val conj: Column = scoreCols.zipWithIndex
       .map { case (c, i) => col(c) <= lit(medians.getDouble(i)) }
       .reduce(_ && _) && col(recordScoreCol) <= lit(recordThreshold)

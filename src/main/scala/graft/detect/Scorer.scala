@@ -44,23 +44,34 @@ object Scorer {
       .agg(expr("percentile_approx(ppl, 0.5D, 10000)").as("p50"),
         count(lit(1)).as("n"))
       .collect()
-    val (byLang, global) = referenceFromRows(perLang)
+    val ref = referenceFromRows(perLang)
+    require(ref.isDefined,
+      "Scorer.fit needs at least one non-null caption to discover a perplexity reference")
+    val (byLang, global) = ref.get
     Models(langId, lm, global, byLang)
   }
 
+  /** None when no group carries a quantile (empty corpus, or every
+    * caption null — a null caption yields a (lang=null, p50=null) group
+    * from the sketch, which has nothing to offer the reference; such
+    * rows still score through the global fallback at inference). */
   private def referenceFromRows(
-      perLang: Array[org.apache.spark.sql.Row]): (Map[String, Double], Double) = {
-    val byLang = perLang.map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val global = {
-      // weighted median approximation: global p50 from the dominant class
-      val totalN = perLang.map(_.getLong(2)).sum
-      val sorted = perLang.sortBy(_.getDouble(1))
-      var acc = 0L
-      var res = sorted.head.getDouble(1)
-      sorted.foreach { r => if (acc < totalN / 2) { res = r.getDouble(1); acc += r.getLong(2) } }
-      res
+      perLang: Array[org.apache.spark.sql.Row]): Option[(Map[String, Double], Double)] = {
+    val rows = perLang.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    if (rows.isEmpty) None
+    else {
+      val byLang = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val global = {
+        // weighted median approximation: global p50 from the dominant class
+        val totalN = rows.map(_.getLong(2)).sum
+        val sorted = rows.sortBy(_.getDouble(1))
+        var acc = 0L
+        var res = sorted.head.getDouble(1)
+        sorted.foreach { r => if (acc < totalN / 2) { res = r.getDouble(1); acc += r.getLong(2) } }
+        res
+      }
+      Some((byLang, global))
     }
-    (byLang, global)
   }
 
   /** Recalibrate the per-language perplexity reference from the current
@@ -78,9 +89,9 @@ object Scorer {
         count(lit(1)).as("n"))
       .collect()
     // an EMPTY believed-clean population (every row known-faulty and
-    // confirmed) has no quantiles to offer — keep the previous reference
-    // instead of crashing on sorted.head
-    if (perLang.isEmpty) fallback else referenceFromRows(perLang)
+    // confirmed) — or one whose groups are all null-caption — has no
+    // quantiles to offer: keep the previous reference
+    referenceFromRows(perLang).getOrElse(fallback)
   }
 
   /** Warm-start fit: reload checkpointed model state when present AND its
@@ -161,15 +172,22 @@ object Scorer {
     // under the threshold and shuffle-joins otherwise (PlanSpec gates
     // that no hint is present).
     val dup = dupDropIds.withColumn("__is_dup", lit(1.0))
-    val base = rules.foldLeft(images) { case (df, (name, c)) => df.withColumn(name, c) }
-      .withColumn("pred_lang", Exprs.langidBest(col("caption"), m.langId))
-      .withColumn("ppl_raw", Exprs.perplexity(col("caption"), m.lm))
-      .withColumn("score_langid", langidScoreCol(col("caption"), m.langId))
+    // all signal columns are mutually independent (each reads only input
+    // columns), so ONE withColumns projection adds them — repeated
+    // withColumn calls each re-analyze the whole growing plan (Spark's
+    // own scaladoc warning), pure driver overhead on plans this size
+    val signalCols = (rules ++ Seq(
+      "pred_lang" -> Exprs.langidBest(col("caption"), m.langId),
+      "ppl_raw" -> Exprs.perplexity(col("caption"), m.lm),
+      "score_langid" -> langidScoreCol(col("caption"), m.langId))).toMap
+    val base = images.withColumns(signalCols)
       .join(dup, Seq("image_id"), "left")
       .withColumn("score_dup", coalesce(col("__is_dup"), lit(0.0)))
       .drop("__is_dup")
     // single-pass native scrub; score_pii derives from it so the chain
-    // runs exactly once per row (was 3×: scrub + piiScore's 2 evals)
+    // runs exactly once per row (was 3×: scrub + piiScore's 2 evals).
+    // This fold MUST stay sequential: score_pii reads the
+    // scrubbed_caption column the previous step materialized.
     scrubPiiColumns(col("caption"))
       .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
   }

@@ -58,6 +58,14 @@ object Similarity {
       }
     }
 
+  /** CONTRACT: `vec.length` must equal the plane dimension (the `dim`
+    * passed to [[lshTopK]]). A shorter/longer vector hashes only the
+    * common prefix — the bucket is still deterministic, so a uniformly
+    * mis-sized corpus degrades recall instead of crashing (a single
+    * ragged row must not kill a 10^12-row job; Banding.cosinePairs
+    * skips such rows for the same reason), but a mis-configured `dim`
+    * silently halves recall: assert the column width against `dim` at
+    * the call site when ingesting a new table. */
   def signatureOf(vec: Array[Float], planes: Array[Array[Double]]): Int = {
     var sig = 0
     var p = 0
@@ -133,7 +141,10 @@ object Similarity {
   /** Nearest centroid index by maximum adjusted dot product
     * (argmin ||v−c||² = argmax c·v − ||c||²/2) — scalar helper behind
     * the native [[org.apache.spark.sql.graft.Exprs.NearestCentroid]]
-    * expression. `halfNorms(i)` must be ||centroids(i)||²/2. */
+    * expression. `halfNorms(i)` must be ||centroids(i)||²/2. Same
+    * prefix-dot contract as [[signatureOf]]: a vector whose length
+    * differs from the centroid dimension scores on the common prefix
+    * (deterministic, never crashing; recall degrades if systematic). */
   def nearestCentroid(vec: Array[Float], centroids: Array[Array[Double]],
       halfNorms: Array[Double]): Int = {
     var best = 0
@@ -184,15 +195,23 @@ object Similarity {
       maxQueries: Int = 100000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // 1. coarse quantizer on a bounded sample
+    // 1. coarse quantizer on a bounded sample. Null vectors are
+    // admissible corpus rows (lshTopK/Banding tolerate them) but carry
+    // nothing for the quantizer — excluded here, and excluded from the
+    // result naturally (a null row's nearest-centroid list is null, so
+    // it never matches a probe).
     val sample = embeddings
+      .filter(col("embedding").isNotNull)
       .orderBy(xxhash64(col("vec_id"))).limit(maxFit)
       .select(col("embedding")).as[Array[Float]]
       .map(a => Tuple1(org.apache.spark.ml.linalg.Vectors.dense(
         a.map(_.toDouble))))
       .toDF("features").coalesce(1).cache()
     val n = sample.count()
-    val kk = math.max(2, math.min(nlist.toLong, n).toInt)
+    require(n > 0, "ivfTopK: no non-null embeddings to fit the coarse quantizer on")
+    // clamp by the SAMPLE size too: k above the point count makes MLlib
+    // KMeans throw on degenerate (single-row) corpora
+    val kk = math.max(1, math.min(nlist.toLong, n).toInt)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(kk).setSeed(seed).setMaxIter(10).fit(sample)
     sample.unpersist()
