@@ -47,26 +47,9 @@ final case class LangIdModel(
   /** Softmax class probabilities for a text. */
   def predictProbs(text: String): Array[Double] = {
     val l = langs.length
-    val logits = new Array[Double](l)
     val fs = featureBuckets(text)
     if (fs.isEmpty) return Array.fill(l)(1.0 / l)
-    val inv = 1.0 / fs.length
-    var i = 0
-    while (i < fs.length) {
-      val base = fs(i) * l
-      var k = 0
-      while (k < l) { logits(k) += weights(base + k) * inv; k += 1 }
-      i += 1
-    }
-    var mx = logits(0)
-    var k = 1
-    while (k < l) { if (logits(k) > mx) mx = logits(k); k += 1 }
-    var sum = 0.0
-    k = 0
-    while (k < l) { logits(k) = math.exp(logits(k) - mx); sum += logits(k); k += 1 }
-    k = 0
-    while (k < l) { logits(k) /= sum; k += 1 }
-    logits
+    LangId.probsFromBuckets(fs, weights, l)
   }
 
   /** Java/codegen-friendly variant of [[bestLang]]. */
@@ -98,6 +81,32 @@ object LangId {
   /** Memoized default model (deterministic corpus + hyperparameters):
     * train once per JVM, broadcast per session. */
   lazy val pretrained: LangIdModel = train()
+
+  /** Normalized softmax probabilities from precomputed feature buckets —
+    * the ONE feature-averaged forward-pass formula, shared by inference
+    * ([[LangIdModel.predictProbs]]) and the SGD step in [[train]] so the
+    * two can never drift. `fs` must be non-empty. */
+  private[models] def probsFromBuckets(
+      fs: Array[Int], weights: Array[Float], l: Int): Array[Double] = {
+    val logits = new Array[Double](l)
+    val inv = 1.0 / fs.length
+    var i = 0
+    while (i < fs.length) {
+      val base = fs(i) * l
+      var k = 0
+      while (k < l) { logits(k) += weights(base + k) * inv; k += 1 }
+      i += 1
+    }
+    var mx = logits(0)
+    var k = 1
+    while (k < l) { if (logits(k) > mx) mx = logits(k); k += 1 }
+    var sum = 0.0
+    k = 0
+    while (k < l) { logits(k) = math.exp(logits(k) - mx); sum += logits(k); k += 1 }
+    k = 0
+    while (k < l) { logits(k) /= sum; k += 1 }
+    logits
+  }
 
   /** Lowercase; any non-letter, non-space char becomes a space; trimmed.
     * Hand-rolled (no per-call regex compile — this runs 3× per row in
@@ -180,24 +189,10 @@ object LangId {
         val (y, fs) = order(s)
         if (fs.nonEmpty) {
           val inv = 1.0 / fs.length
-          val logits = new Array[Double](l)
-          var fi = 0
-          while (fi < fs.length) {
-            val base = fs(fi) * l
-            var k = 0
-            while (k < l) { logits(k) += weights(base + k) * inv; k += 1 }
-            fi += 1
-          }
-          var mx = logits(0)
-          var k = 1
-          while (k < l) { if (logits(k) > mx) mx = logits(k); k += 1 }
-          var sum = 0.0
-          k = 0
-          while (k < l) { logits(k) = math.exp(logits(k) - mx); sum += logits(k); k += 1 }
-          k = 0
+          val p = probsFromBuckets(fs, weights, l)
+          var k = 0
           while (k < l) {
-            val p = logits(k) / sum
-            val g = (p - (if (k == y) 1.0 else 0.0)) * lr * inv
+            val g = (p(k) - (if (k == y) 1.0 else 0.0)) * lr * inv
             var f2 = 0
             while (f2 < fs.length) {
               weights(fs(f2) * l + k) = (weights(fs(f2) * l + k) - g).toFloat
