@@ -88,6 +88,103 @@ object Banding {
       .distinct()
   }
 
+  /** Exact-Jaccard near-dup pairs emitted straight FROM the run-scan:
+    * `keyed` must have columns (id: string, key: long, sh: array<string>
+    * — the doc's shingle array); every capped same-key run verifies its
+    * pairs in place and only pairs with jaccard ≥ threshold leave the
+    * operator.
+    *
+    * Why this exists next to [[candidatePairs]] (the r6 ngram
+    * optimization, same rationale as [[cosinePairs]]): on a corpus whose
+    * shingles are corpus-frequent (average df ≈ 30 on the synthetic
+    * captions), the slim-candidates shape materializes O(Σ df²) pairs
+    * through a distinct shuffle and a payload join — measured 11.1M
+    * candidate pairs from 100k docs, ~11 s of the 14 s op. Carrying the
+    * shingle payload through the banding exchange once per key is
+    * O(input × bands) shuffle instead, and only TRUE pairs (plus the
+    * output-sized distinct) leave the scan.
+    *
+    * CAP POLICY parity with [[candidatePairs]] (strict first-`maxDf`,
+    * NOT the cosinePairs overflow-scoring policy): the ngram oracle's
+    * candidate rule is "both ids within the shingle's first maxDf by id
+    * rank", so an overflow row must get NO pairs from that key.
+    *
+    * Numeric parity with [[Dedup.jaccard]]: per-doc distinct shingle
+    * sets (String equality ≡ UTF8String binary equality on valid UTF-8),
+    * inter/union counted as ints, one int→double division — identical
+    * IEEE result. Sorting happens INSIDE the scan with one comparator
+    * (String.compareTo), so merge-intersection order is self-consistent
+    * regardless of any engine-side collation. */
+  def jaccardPairs(keyed: DataFrame, maxDf: Int, threshold: Double,
+      truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("id"))
+      .select(col("key"), col("id"), col("sh"))
+      .as[(Long, String, Array[String])]
+      .mapPartitions { it =>
+        new Iterator[(String, String, Double)] {
+          private val out =
+            scala.collection.mutable.Queue.empty[(String, String, Double)]
+          private val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+          private val sets = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+          private var curKey: Long = Long.MinValue
+          private var haveKey = false
+          // sorted distinct copy (one comparator for sort AND merge)
+          private def norm(a: Array[String]): Array[String] = {
+            val c = a.clone()
+            java.util.Arrays.sort(c.asInstanceOf[Array[AnyRef]])
+            var w = 0
+            var i = 0
+            while (i < c.length) {
+              if (w == 0 || c(w - 1) != c(i)) { c(w) = c(i); w += 1 }
+              i += 1
+            }
+            if (w == c.length) c else java.util.Arrays.copyOf(c, w)
+          }
+          private def jac(a: Array[String], b: Array[String]): Double = {
+            var i = 0; var j = 0; var inter = 0
+            while (i < a.length && j < b.length) {
+              val c = a(i).compareTo(b(j))
+              if (c == 0) { inter += 1; i += 1; j += 1 }
+              else if (c < 0) i += 1
+              else j += 1
+            }
+            val uni = a.length + b.length - inter
+            if (uni > 0) inter.toDouble / uni.toDouble else 0.0
+          }
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (key, id, sh) = it.next()
+              if (!haveKey || key != curKey) {
+                ids.clear(); sets.clear(); curKey = key; haveKey = true
+              }
+              if (ids.length < maxDf) {
+                val ns = norm(sh)
+                var i = 0
+                while (i < ids.length) {
+                  // sorted within the run: ids(i) <= id; equal ids can
+                  // only come from duplicate input rows — skip self-pairs
+                  if (ids(i) != id) {
+                    val v = jac(sets(i), ns)
+                    if (v >= threshold) out += ((ids(i), id, v))
+                  }
+                  i += 1
+                }
+                ids += id; sets += ns
+              } else truncated.foreach(_.add(1L))
+            }
+          }
+          def hasNext: Boolean = { advance(); out.nonEmpty }
+          def next(): (String, String, Double) = { advance(); out.dequeue() }
+        }
+      }
+      .toDF("id1", "id2", "jaccard")
+      .distinct()
+  }
+
   /** Cosine-scored near-dup pairs emitted straight FROM the run-scan:
     * `keyed` must have columns (id: string, key: long, v: array<float>);
     * every capped same-key run scores its pairs in place and only pairs

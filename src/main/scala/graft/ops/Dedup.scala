@@ -29,8 +29,17 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
   /** Word k-shingles of a text column (array<string>); empty array when
-    * the text has fewer than k tokens (sequence(1,0) would descend). */
-  def shingles(text: Column, k: Int): Column = {
+    * the text has fewer than k tokens. Native single-pass expression
+    * (Exprs.Shingles) — the former Catalyst slice/array_join chain paid
+    * ~100 allocation-heavy array ops per caption and dominated the
+    * minhash/ngram dedup wall clock (~20 s over 200k captions vs <1 s
+    * native; exact output parity spec-gated in DedupSpec). */
+  def shingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Exprs.shingles(text, k)
+
+  /** The pre-optimization Catalyst chain, kept as the parity reference
+    * for the DedupSpec gate (and for engines without the native expr). */
+  private[graft] def shinglesCatalyst(text: Column, k: Int): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     when(size(toks) >= k,
       transform(
@@ -232,12 +241,19 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
     // band on a bounded sample of each doc's shingles (first K, hashed to
-    // a 64-bit key) — keeps the explode linear in corpus size
-    val banded = withSh
+    // a 64-bit key) — keeps the explode linear in corpus size. The
+    // shingle payload RIDES the banding exchange and the exact-Jaccard
+    // verify runs inside the run-scan (Banding.jaccardPairs): on corpora
+    // with corpus-frequent shingles the former slim-candidates shape
+    // materialized O(Σ df²) pairs through a distinct shuffle + payload
+    // join (11.1M candidates from 100k docs, ~11 of the op's 14 s); the
+    // fused scan is O(input × bands) shuffle + O(true pairs) output,
+    // with the identical candidate rule and jaccard arithmetic.
+    val keyed = withSh
       .select(col("id"),
         explode(array_distinct(transform(
-          slice(col("sh"), 1, maxShinglesPerDoc), s => xxhash64(s)))).as("key"))
-    verifyJaccard(Banding.candidatePairs(banded, maxDf, truncated), withSh,
-      jaccardThreshold)
+          slice(col("sh"), 1, maxShinglesPerDoc), s => xxhash64(s)))).as("key"),
+        col("sh"))
+    Banding.jaccardPairs(keyed, maxDf, jaccardThreshold, truncated)
   }
 }

@@ -30,6 +30,34 @@ class OpsSpec extends AnyFunSuite {
     assert(verified >= 0.8)
   }
 
+  test("native shingles expression matches the Catalyst chain exactly") {
+    // r6 optimization gate: Dedup.shingles moved from the Catalyst
+    // slice/array_join chain to the native Exprs.Shingles scalar pass —
+    // output must be bit-identical on the full generator corpus (every
+    // fault class: symbol soup, repetition, pii, gibberish, too_long)
+    // and on the whitespace/empty edge cases the chain's split('\s+')
+    // semantics make tricky.
+    val corpus = images.select(col("caption"))
+      .unionByName(Seq("", " ", "  a  b   c ", "a\tb\nc d", "é É X Y",
+        "one two", "one two three", " lead", "trail ", "a  b")
+        .toDF("caption"))
+    val mismatches = corpus.select(
+      Dedup.shingles(col("caption"), 3).as("nat"),
+      Dedup.shinglesCatalyst(col("caption"), 3).as("cat"))
+      .filter(not(col("nat") <=> col("cat")))
+      .count()
+    assert(mismatches == 0L)
+    // null text: BOTH sides yield the empty array (the Catalyst chain's
+    // when/otherwise maps null through to otherwise(array()))
+    val nullRow = Seq[(String, String)](("x", null)).toDF("id", "caption")
+      .select(Dedup.shingles(col("caption"), 3).as("nat"),
+        Dedup.shinglesCatalyst(col("caption"), 3).as("cat"))
+      .head()
+    assert(!nullRow.isNullAt(0) && !nullRow.isNullAt(1))
+    assert(nullRow.getSeq[String](0) == nullRow.getSeq[String](1))
+    assert(nullRow.getSeq[String](0).isEmpty)
+  }
+
   test("simhash finds exact-copy caption pairs") {
     val found = Dedup.simhashPairs(images, "image_id", "caption")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -45,6 +73,31 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(df, "image_id", "caption")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(("d4", "d5")), s"got $pairs")
+  }
+
+  test("ngram fused run-scan is bit-identical to the candidates-join shape") {
+    // r6 optimization gate: ngramJaccardPairs fused the exact-Jaccard
+    // verify into the banding run-scan (Banding.jaccardPairs). Rebuild
+    // the former slim-candidates → payload-join shape from public pieces
+    // and assert the exact same (id1, id2, jaccard) rows come out.
+    val withSh = images
+      .select(col("image_id").as("id"), Dedup.shingles(col("caption"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = withSh.select(col("id"),
+      explode(array_distinct(transform(
+        slice(col("sh"), 1, 32), s => xxhash64(s)))).as("key"))
+    val cands = graft.ops.Banding.candidatePairs(banded, 256)
+    val joinShape = cands
+      .join(withSh.select(col("id").as("id1"), col("sh").as("__sh1")), Seq("id1"))
+      .join(withSh.select(col("id").as("id2"), col("sh").as("__sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        Dedup.jaccard(col("__sh1"), col("__sh2")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val fused = Dedup.ngramJaccardPairs(images, "image_id", "caption")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(fused == joinShape)
+    assert(fused.nonEmpty)
   }
 
   test("ngram jaccard pairs include seeded dups with jaccard 1.0") {
