@@ -182,6 +182,50 @@ object BenchExtra {
       }
     }
 
+    run("som2") {
+      import spark.implicits._
+      val rnd = new java.util.Random(5L)
+      val df = (1 to 200).map(_ => (rnd.nextDouble(), rnd.nextDouble(),
+        rnd.nextDouble(), rnd.nextDouble())).toDF("a", "b", "c", "d")
+        .coalesce(1).cache()
+      df.count()
+      timed("SOM fit 20 epochs (cold)") {
+        graft.explain.SomClustering.fit(df, Seq("a", "b", "c", "d")): Unit
+      }
+      timed("SOM fit 20 epochs (warm)") {
+        graft.explain.SomClustering.fit(df, Seq("a", "b", "c", "d")): Unit
+      }
+      df.unpersist()
+    }
+
+    run("clusters2") {
+      import spark.implicits._
+      // chain graph: 200 nodes in chains of 5 → converges in ~3 iters
+      val pairs = (0 until 200).flatMap { i =>
+        if (i % 5 != 4) Some((f"img$i%09d", f"img${i + 1}%09d")) else None
+      }.toDF("id1", "id2").cache()
+      pairs.count()
+      timed("clusters cold") { graft.discovery.PhashDup.clusters(pairs).count(): Unit }
+      timed("clusters warm 1") { graft.discovery.PhashDup.clusters(pairs).count(): Unit }
+      val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      val starts = scala.collection.mutable.Map.empty[Int, Long]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts(js.jobId) = js.time
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          starts.remove(je.jobId).foreach(t0 => jobs += ((je.jobId, je.time - t0)))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      timed("clusters warm 2") { graft.discovery.PhashDup.clusters(pairs).count(): Unit }
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(300)
+      println(f"[extra] clusters warm2: ${jobs.size} jobs, sum ${jobs.map(_._2).sum / 1e3}%.2f s")
+      jobs.sortBy(_._1).foreach { case (id, ms) =>
+        println(f"[extra]   job $id%4d ${ms / 1e3}%7.2f s")
+      }
+      pairs.unpersist()
+    }
+
     run("aqe") {
       import spark.implicits._
       val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_ROWS", "200000").toLong

@@ -160,29 +160,55 @@ object PhashDup {
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .cache()
+    // lazy init — materialized by the first iteration's action (r6: the
+    // eager localCheckpoint here was one whole extra job)
     var labels = edges.groupBy(col("id1").as("image_id"))
       .agg(least(min(col("id2")), first(col("id1"))).as("cluster_id"))
-      .localCheckpoint()
+      .cache()
     var i = 1
     var converged = false
+    var prev: Option[DataFrame] = None
     while (i < maxIterations && !converged) {
-      val next = edges
+      // ONE job, ONE join, ONE aggregation per iteration (r6: was two
+      // jobs — localCheckpoint + a change probe — over two joins + an
+      // agg): the node's own label joins the min-reduction as a tagged
+      // UNION row instead of a second join (min over messages ∪ own ≡
+      // least(min(nbr), own)), the changed flag is min(messages) < own
+      // computed in the SAME aggregate (labels only ever DECREASE —
+      // exactly the old next≠labels condition), and it rides the
+      // materializing count() as an Observation; cache replaces
+      // localCheckpoint so nothing is serialized per round. Lineage
+      // nests one cached join per iteration — bounded by maxIterations,
+      // and execution always shortcuts at the previous iteration's
+      // cached frame.
+      val msgs = edges
         .join(labels, edges("id2") === labels("image_id"), "inner")
-        .groupBy(edges("id1").as("image_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .join(labels.select(col("image_id"), col("cluster_id").as("own")),
-          Seq("image_id"))
-        .select(col("image_id"), least(col("cluster_id"), col("own")).as("cluster_id"))
-        .localCheckpoint()
-      // existence-only change probe: limit(1) stops the scan at the
-      // first changed label instead of counting them all
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("image_id"))
-        .filter(col("cluster_id") =!= col("__old"))
-        .limit(1).count() == 0L
+        .select(edges("id1").as("image_id"), col("cluster_id").as("label"),
+          lit(false).as("__own"))
+      val stepped = msgs
+        .unionByName(labels.select(col("image_id"),
+          col("cluster_id").as("label"), lit(true).as("__own")))
+        .groupBy(col("image_id"))
+        .agg(min(col("label")).as("cluster_id"),
+          min(when(col("__own"), col("label"))).as("__prev"))
+        .select(col("image_id"), col("cluster_id"),
+          (col("cluster_id") < col("__prev")).as("__changed"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = stepped
+        .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("changed"))
+        .select(col("image_id"), col("cluster_id"))
+        .cache()
+      next.count(): Unit
+      converged = Option(obs.get("changed")).forall {
+        case n: Long => n == 0L
+        case _ => true // a null sum means zero rows — converged
+      }
+      prev.foreach(_.unpersist())
+      prev = Some(labels)
       labels = next
       i += 1
     }
+    prev.foreach(_.unpersist())
     edges.unpersist()
     labels
   }

@@ -59,14 +59,28 @@ object SomClustering {
     Array.fill(m * n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Squared-distance-argmin BMU as a Catalyst expression: distances
-    * fold left-to-right over features (acc starts at 0.0, and 0.0+d==d
-    * for the non-negative squares, so the fold equals the plain
-    * in-order sum any other engine computes); ties take the lowest
-    * unit index via array_position's first-match semantics. */
+  /** Squared-distance-argmin BMU: distances fold left-to-right over
+    * features (acc starts at 0.0, and 0.0+d==d for the non-negative
+    * squares, so the fold equals the plain in-order sum any other
+    * engine computes); ties take the lowest unit index — the
+    * array_position(array_min) first-match rule.
+    *
+    * r6: native expression (Exprs.SomBmu) instead of a typedlit-codebook
+    * higher-order-function chain. The HOF chain inlined the codebook
+    * values into the generated code, so every fit epoch's new weights
+    * forced a fresh whole-stage-codegen compile — ~20 janino compiles
+    * per fit, the dominant cold cost of the SOM queries. The reference-
+    * object codebook keeps one compiled plan for all epochs; arithmetic
+    * is bit-identical (SomSpec parity gate vs the HOF chain). */
   def bmuColumn(weights: Array[Array[Double]], features: Column): Column = {
     require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
       "codebook must be non-empty with uniform dimension")
+    org.apache.spark.sql.graft.Exprs.somBmu(features, weights)
+  }
+
+  /** The pre-r6 Catalyst HOF chain, kept as the parity reference for
+    * the SomSpec gate. */
+  private[graft] def bmuColumnHof(weights: Array[Array[Double]], features: Column): Column = {
     val codebook = typedlit(weights.map(_.toSeq).toSeq)
     val dists = transform(codebook, wv =>
       aggregate(zip_with(wv, features, (a, b) => (a - b) * (a - b)),
@@ -110,28 +124,53 @@ object SomClustering {
       val dc = locs(j)._2 - locs(b)._2
       (dr * dr + dc * dc).toDouble
     }
+    val spark0 = data.sparkSession
+    import spark0.implicits._
     val assembled = data.select(
       array(featureCols.map(c => col(c).cast("double")): _*).as("arr"))
+      .as[Array[Double]]
     var w = initWeights(m, n, dim, seed)
     var t = 0
     while (t < epochs) {
       // reference decay: σ_t = σ₀·(1 − t/T) (SOM.py:96-100); at the
       // last epoch the factor is 1/T, never zero
       val sigT = sig0 * (1.0 - t.toDouble / epochs)
-      val sumCols = (0 until dim).map(i => sum(col("arr")(i)).as(s"s$i"))
-      val partials = assembled
-        .groupBy(spark_partition_id().as("pid"),
-          bmuColumn(w, col("arr")).as("bmu"))
-        .agg(count(lit(1)).as("cnt"), sumCols: _*)
-        .collect()
-        .sortBy(r => (r.getInt(0), r.getInt(1)))
+      // r6: single-stage epoch — the former groupBy((pid, bmu)) Catalyst
+      // aggregate shuffled its 25-key partials and re-planned a 2-stage
+      // job every epoch (~115 ms/epoch of pure latency on a bounded
+      // sample). The mapPartitions pass accumulates the SAME partials in
+      // the SAME per-partition row order (map-side sums were already
+      // per-(pid, bmu), so the doubles are bit-identical) and collects
+      // them directly: one stage, no exchange, no per-epoch re-plan.
+      val wLocal = w
+      val unitsLocal = units
+      val dimLocal = dim
+      val partials = assembled.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val cnt = new Array[Long](unitsLocal)
+        val sums = Array.fill(unitsLocal)(new Array[Double](dimLocal))
+        it.foreach { arr =>
+          // ragged/null rows cannot occur (arr = cast score columns);
+          // skip defensively rather than fold them into unit 0
+          if (arr != null && arr.length == dimLocal) {
+            val b = org.apache.spark.sql.graft.Exprs.somBmuArray(arr, wLocal)
+            if (b >= 0) {
+              cnt(b) += 1L
+              var i = 0
+              while (i < dimLocal) { sums(b)(i) += arr(i); i += 1 }
+            }
+          }
+        }
+        (0 until unitsLocal).iterator.filter(cnt(_) > 0L)
+          .map(b => (pid, b, cnt(b), sums(b)))
+      }.collect()
+        .sortBy(p => (p._1, p._2))
       val cnt = Array.fill(units)(0L)
       val sums = Array.fill(units)(Array.fill(dim)(0.0))
-      partials.foreach { r =>
-        val b = r.getInt(1)
-        cnt(b) += r.getLong(2)
+      partials.foreach { case (_, b, c, s) =>
+        cnt(b) += c
         var i = 0
-        while (i < dim) { sums(b)(i) += r.getDouble(3 + i); i += 1 }
+        while (i < dim) { sums(b)(i) += s(i); i += 1 }
       }
       val s2 = sigT * sigT
       w = Array.tabulate(units) { j =>

@@ -231,6 +231,85 @@ object Exprs {
   val emptyShingles: org.apache.spark.sql.catalyst.util.GenericArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
 
+  /** Batch-SOM best-matching-unit over a codebook reference object —
+    * the r6 replacement for the `typedlit(codebook)` higher-order-
+    * function chain in SomClustering.bmuColumn. The HOF chain inlines
+    * the codebook VALUES into the generated code, so every fit epoch
+    * (new weights) forced a fresh janino compile (~20 compiles per
+    * fit, the dominant cold cost of qf_som_assign); the codebook here
+    * rides as a codegen reference, the generated source is identical
+    * across epochs, and the whole fit shares ONE compiled plan shape.
+    *
+    * Arithmetic parity is exact and spec-gated (SomSpec): distances
+    * fold left-to-right from 0.0 over (w_i − f_i)² like the
+    * zip_with/aggregate chain; ties take the lowest unit index
+    * (strict Double.compare keeps the FIRST minimum, matching
+    * array_position(array_min)'s first-match rule, incl. the NaN-is-
+    * largest double ordering); a NULL features array, a null element,
+    * or a dim mismatch yields NULL exactly as zip_with's null padding
+    * nulls every distance. */
+  case class SomBmu(child: Expression, weights: Array[Array[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(org.apache.spark.sql.types.ArrayType(DoubleType))
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(v: Any): Any = {
+      val r = Exprs.somBmuScalar(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], weights)
+      if (r < 0) null else r
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("somWeights", weights, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""int graftBmu = org.apache.spark.sql.graft.Exprs.somBmuScalar($c, $wRef);
+           |${ev.isNull} = graftBmu < 0;
+           |${ev.value} = graftBmu;""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_som_bmu"
+  }
+
+  /** Scalar body of [[SomBmu]] (public static for codegen); −1 encodes
+    * NULL (ragged/null-element features). */
+  def somBmuScalar(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      weights: Array[Array[Double]]): Int = {
+    val dim = weights(0).length
+    if (arr.numElements() != dim) return -1
+    val f = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return -1
+      f(i) = arr.getDouble(i)
+      i += 1
+    }
+    somBmuArray(f, weights)
+  }
+
+  /** [[somBmuScalar]] over a plain double[] (shared by the SOM fit's
+    * single-stage epoch pass). Never returns −1 for a well-sized
+    * array. */
+  def somBmuArray(f: Array[Double], weights: Array[Array[Double]]): Int = {
+    val dim = weights(0).length
+    if (f.length != dim) return -1
+    var best = 0
+    var bestD = Double.NaN
+    var u = 0
+    while (u < weights.length) {
+      val w = weights(u)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { val d = w(j) - f(j); acc += d * d; j += 1 }
+      // Spark double ordering (NaN largest): strictly-less keeps the
+      // FIRST minimal unit, the array_position(array_min) tie rule
+      if (u == 0 || java.lang.Double.compare(acc, bestD) < 0) {
+        best = u; bestD = acc
+      }
+      u += 1
+    }
+    best
+  }
+
   /** Scalar body of [[Shingles]] (public static for codegen). */
   def shinglesScalar(text: UTF8String, k: Int):
       org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -298,6 +377,9 @@ object Exprs {
 
   def shingles(c: Column, k: Int): Column =
     Bridge.column(Shingles(Bridge.expression(c), k))
+
+  def somBmu(c: Column, weights: Array[Array[Double]]): Column =
+    Bridge.column(SomBmu(Bridge.expression(c), weights))
 
   def hyperplaneSig(c: Column, planes: Array[Array[Double]]): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(c), planes))

@@ -21,6 +21,35 @@ class SomSpec extends AnyFunSuite {
     best
   }
 
+  test("native SomBmu expression is bit-identical to the HOF chain") {
+    // r6 optimization gate: bmuColumn moved from the typedlit-codebook
+    // zip_with/aggregate chain to the native Exprs.SomBmu expression —
+    // BMU assignment must be identical on random data, exact-tie rows
+    // (equal distances pick the FIRST unit), null arrays, null
+    // elements, and dim-mismatched arrays.
+    val w = SomClustering.initWeights(4, 4, 3, seed = 7L)
+    // two identical codebook rows force exact distance ties
+    w(5) = w(2).clone()
+    val rnd = new java.util.Random(11L)
+    val rows = (1 to 500).map { _ =>
+      Tuple1(Array.fill(3)(rnd.nextGaussian()))
+    } ++ Seq(
+      Tuple1(w(2).clone()), // exact tie between units 2 and 5
+      Tuple1(null.asInstanceOf[Array[Double]]),
+      Tuple1(Array(1.0, 2.0)), // dim mismatch
+      Tuple1(Array(1.0, 2.0, 3.0, 4.0))) // dim mismatch (long)
+    val df = rows.toDF("arr")
+      .select(col("arr").cast("array<double>").as("arr"))
+    val cmp = df.select(
+      SomClustering.bmuColumn(w, col("arr")).as("nat"),
+      SomClustering.bmuColumnHof(w, col("arr")).as("hof"))
+    assert(cmp.filter(not(col("nat") <=> col("hof"))).count() == 0L)
+    // the tie row resolves to the FIRST minimal unit on both paths
+    val tie = Seq(Tuple1(w(2).clone())).toDF("arr")
+      .select(SomClustering.bmuColumn(w, col("arr")).as("u")).head().getInt(0)
+    assert(tie == 2)
+  }
+
   test("fit is deterministic for a fixed seed") {
     val df = (1 to 60).map(i => (0.1 * (i % 7), 0.05 * (i % 4))).toDF("a", "b").cache()
     val m1 = SomClustering.fit(df, Seq("a", "b"), m = 3, n = 3, epochs = 5)
