@@ -158,6 +158,95 @@ object BenchExtra {
       }
     }
 
+    run("loopparts") {
+      import graft.loop.ValidationRun
+      def runWith(parts: Int, dir: String): ValidationRun.RunResult = {
+        PipelineLoop.deleteRecursively(new java.io.File(dir))
+        ValidationRun.run(spark, ValidationRun.RunConfig(
+          n = 1000L, rounds = 3, outDir = dir, parts = parts))
+      }
+      val a = timed("loop parts=32") { runWith(32, "target/extra-loop-32") }
+      val b = timed("loop parts=4") { runWith(4, "target/extra-loop-4") }
+      val c = timed("loop parts=8") { runWith(8, "target/extra-loop-8") }
+      println(s"[extra] metrics equal 32vs4: ${a.metrics == b.metrics}")
+      println(s"[extra] metrics equal 32vs8: ${a.metrics == c.metrics}")
+      println(s"[extra] thresholds equal 32vs4: ${a.thresholds == b.thresholds}")
+      println(s"[extra] thresholds equal 32vs8: ${a.thresholds == c.thresholds}")
+      val da = a.decisions.select("image_id", "decision", "invalidity_score")
+        .orderBy("image_id").collect().toSeq
+      val db = b.decisions.select("image_id", "decision", "invalidity_score")
+        .orderBy("image_id").collect().toSeq
+      println(s"[extra] decisions equal 32vs4: ${da == db}")
+      Seq("target/extra-loop-32", "target/extra-loop-4", "target/extra-loop-8")
+        .foreach(d => PipelineLoop.deleteRecursively(new java.io.File(d)))
+    }
+
+    run("cacheparts") {
+      import graft.detect.Scorer
+      import graft.discovery.{PhashDup, Thresholds}
+      def pipelineAt(parts: Int) = {
+        val gen = GenConfig(n = 2000L, parts = parts)
+        val images = ImageGen.images(spark, gen).cache()
+        images.count()
+        val models = Scorer.fit(spark, images)
+        val dupDrop = PhashDup.dropIds(images)
+        val scored = Scorer.withScores(images, models, dupDrop).cache()
+        val withStatus = scored.withColumn("status", lit("clean"))
+        val known = ImageGen.knownFaults(spark, gen).count()
+        val (t, med) = Thresholds.discover(
+          withStatus, "invalidity_score", "status", known)
+        val dec = Scorer.withDecision(scored, t)
+          .select("image_id", "decision", "invalidity_score", "scrubbed_caption")
+          .orderBy("image_id").collect().toSeq
+        images.unpersist(); scored.unpersist()
+        (models.pplRef, models.pplRefByLang, t, med, dec)
+      }
+      val a = timed("pipeline parts=32") { pipelineAt(32) }
+      val b = timed("pipeline parts=8") { pipelineAt(8) }
+      println(s"[extra] pplRef equal: ${a._1 == b._1}; byLang equal: ${a._2 == b._2}")
+      println(s"[extra] threshold equal: ${a._3 == b._3}; median equal: ${a._4 == b._4}")
+      println(s"[extra] decisions equal: ${a._5 == b._5}")
+    }
+
+    run("stream2") {
+      val dir = s"target/graft-extra-stream-${java.util.UUID.randomUUID().toString.take(8)}"
+      timed("shard write") {
+        ImageGen.images(spark, GenConfig(n = 500L, parts = 4))
+          .withColumn("ts", timestamp_millis(lit(1700000000000L) +
+            substring(col("image_id"), 4, 9).cast("long") * 1000))
+          .write.parquet(dir)
+      }
+      val schema = timed("schema read") { spark.read.parquet(dir).schema }
+      val models = timed("models(500) fit") { PipelineCache.models(spark, 500L) }
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val scored = graft.streaming.StreamScore.scoreStream(stream, models, 0.5)
+      timed("rows sink stream") {
+        val q = scored.select(col("image_id"), col("ts"), col("decision"))
+          .writeStream.format("parquet")
+          .option("path", s"$dir-rows")
+          .option("checkpointLocation", s"$dir-rows-ckpt")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      timed("windowed agg stream") {
+        val agg = graft.streaming.StreamScore.windowedDropRate(scored, "ts")
+        val q = agg.writeStream.format("memory").queryName("extra_stream_sink")
+          .outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
+      timed("windowed agg stream (2nd)") {
+        val agg = graft.streaming.StreamScore.windowedDropRate(scored, "ts")
+        val q = agg.writeStream.format("memory").queryName("extra_stream_sink2")
+          .outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
+      spark.catalog.dropTempView("extra_stream_sink"): Unit
+      spark.catalog.dropTempView("extra_stream_sink2"): Unit
+      PipelineLoop.deleteRecursively(new java.io.File(dir))
+      PipelineLoop.deleteRecursively(new java.io.File(s"$dir-rows"))
+      PipelineLoop.deleteRecursively(new java.io.File(s"$dir-rows-ckpt"))
+    }
+
     run("som") {
       timed("qf_som_assign cold") {
         PipelineQueries.queries("qf_som_assign")(spark, sfDir).count(): Unit

@@ -86,8 +86,10 @@ object Scratch {
   }
 
   /** Newest mtime anywhere in the tree (orphan trees are fully dead, so
-    * the walk is cheap; a live tree pays one directory scan). */
-  private def newestMtime(f: java.io.File): Long = {
+    * the walk is cheap; a live tree pays one directory scan). Shared
+    * with the qf_stream_window stale-sibling sweep — nested streaming
+    * checkpoint writes never touch the root mtime (ADVICE r5). */
+  private[graft] def newestMtime(f: java.io.File): Long = {
     val own = f.lastModified()
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty)

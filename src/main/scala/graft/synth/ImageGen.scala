@@ -29,6 +29,18 @@ final case class GenConfig(
     withBytes: Boolean = false,
     parts: Int = 32)
 
+object GenConfig {
+  /** Data-derived partition count for fixture-sized corpora (r6): ≥250
+    * rows per partition, clamped to [4, 32]. A 1000-row fixture in 32
+    * partitions is 31 rows/task — pure scheduling overhead at ANY
+    * deployment size (guide §2/§6: size partitions to data); callers
+    * with genuinely large corpora pass `parts` explicitly. Row CONTENT
+    * is a pure function of (seed, id), so the partition count never
+    * changes generated data — only its layout. */
+  def adaptiveParts(n: Long): Int =
+    math.max(4L, math.min(32L, n / 250L)).toInt
+}
+
 /** Deterministic synthetic image+caption table with seeded faults — the
   * analog of the reference's example dataset + companion outliers file
   * (/root/reference/README.md:112-124, breastCancer.csv +
