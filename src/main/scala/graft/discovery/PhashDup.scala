@@ -162,12 +162,12 @@ object PhashDup {
       .cache()
     // lazy init — materialized by the first iteration's action (r6: the
     // eager localCheckpoint here was one whole extra job)
-    var labels = edges.groupBy(col("id1").as("image_id"))
+    var labelsCache = edges.groupBy(col("id1").as("image_id"))
       .agg(least(min(col("id2")), first(col("id1"))).as("cluster_id"))
       .cache()
+    var labels: DataFrame = labelsCache
     var i = 1
     var converged = false
-    var prev: Option[DataFrame] = None
     while (i < maxIterations && !converged) {
       // ONE job, ONE join, ONE aggregation per iteration (r6: was two
       // jobs — localCheckpoint + a change probe — over two joins + an
@@ -194,21 +194,26 @@ object PhashDup {
         .select(col("image_id"), col("cluster_id"),
           (col("cluster_id") < col("__prev")).as("__changed"))
       val obs = org.apache.spark.sql.Observation()
-      val next = stepped
+      val cachedNext = stepped
         .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("changed"))
         .select(col("image_id"), col("cluster_id"))
         .cache()
-      next.count(): Unit
+      cachedNext.count(): Unit
       converged = Option(obs.get("changed")).forall {
         case n: Long => n == 0L
         case _ => true // a null sum means zero rows — converged
       }
-      prev.foreach(_.unpersist())
-      prev = Some(labels)
-      labels = next
+      labelsCache.unpersist()
+      labelsCache = cachedNext
+      // flatten the logical lineage (no job): the step plan references
+      // `labels` twice (join + union), so carrying the raw plan forward
+      // would DOUBLE it per iteration — exponential analysis cost and a
+      // driver OOM once the pair graph needs ~10 rounds (seen at sf0.1).
+      // Flattened AFTER cache+count so its planning picks up the
+      // materialized InMemoryRelation.
+      labels = org.apache.spark.sql.graft.Bridge.flattenLineage(cachedNext)
       i += 1
     }
-    prev.foreach(_.unpersist())
     edges.unpersist()
     labels
   }
