@@ -181,6 +181,31 @@ object BenchExtra {
         .foreach(d => PipelineLoop.deleteRecursively(new java.io.File(d)))
     }
 
+    run("rules2") {
+      timed("images(2000) gen+cache") {
+        PipelineCache.images(spark, 2000L).count(): Unit
+      }
+      timed("models(2000) fit") { PipelineCache.models(spark, 2000L): Unit }
+      timed("scored(2000) build") { PipelineCache.scored(spark, 2000L).count(): Unit }
+      timed("thresholdMedian") { PipelineCache.thresholdMedian(spark, 2000L): Unit }
+      val scored = PipelineCache.scored(spark, 2000L).withColumn("status", lit("clean"))
+      val (t, med) = PipelineCache.thresholdMedian(spark, 2000L)
+      val (rules, labeled) = timed("explainStructured (cold)") {
+        graft.explain.ClusterExplainer.explainStructured(
+          scored, PipelineCache.scoreNames, t, med)
+      }
+      labeled.unpersist()
+      val (r2, l2) = timed("explainStructured (warm)") {
+        graft.explain.ClusterExplainer.explainStructured(
+          scored, PipelineCache.scoreNames, t, med)
+      }
+      l2.unpersist()
+      println(s"[extra] rules n=${rules.size} / ${r2.size}")
+      timed("full qf_cluster_rule_support") {
+        PipelineQueries.queries("qf_cluster_rule_support")(spark, sfDir).count(): Unit
+      }
+    }
+
     run("cacheparts") {
       import graft.detect.Scorer
       import graft.discovery.{PhashDup, Thresholds}

@@ -62,7 +62,16 @@ object Scorer {
     else {
       val byLang = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
       val global = {
-        // weighted median approximation: global p50 from the dominant class
+        // Weighted-median APPROXIMATION: global p50 from the dominant
+        // class. Known off-by-one flavor (VERDICT r5 #4): `acc` is
+        // checked BEFORE adding the current group's weight, so the
+        // chosen row can overshoot the true weighted median by one
+        // group when the boundary falls exactly between groups. Kept
+        // AS-IS deliberately: this is only the fallback reference when
+        // a row's predicted language has no per-lang quantile, and
+        // correcting it would shift scores — results are frozen across
+        // the optimization round (oracle-hash parity). Revisit in a
+        // build round alongside a fixture that pins the new value.
         val totalN = rows.map(_.getLong(2)).sum
         val sorted = rows.sortBy(_.getDouble(1))
         var acc = 0L
@@ -135,18 +144,29 @@ object Scorer {
       (lit(0.7) - Exprs.langidAcceptedProb(caption, langId)) / lit(0.4)))
 
   /** Per-predicted-language perplexity reference as a map literal
-    * (sorted for a deterministic expression tree). */
-  def pplRefMapCol(pplRefByLang: Map[String, Double]): Column =
+    * (sorted for a deterministic expression tree) — kept as the parity
+    * reference for the r6 native [[Exprs.pplRef]] (ExprsSpec gate). */
+  private[graft] def pplRefMapCol(pplRefByLang: Map[String, Double]): Column =
     if (pplRefByLang.isEmpty) map()
     else map(pplRefByLang.toSeq.sortBy(_._1)
       .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*)
 
-  /** score_ppl formula — shared by batch and streaming. */
+  /** Pre-r6 Catalyst reference lookup (parity gate only). */
+  private[graft] def pplRefColCatalyst(predLang: Column,
+      pplRefByLang: Map[String, Double], pplRefGlobal: Double): Column =
+    coalesce(element_at(pplRefMapCol(pplRefByLang), predLang), lit(pplRefGlobal))
+
+  /** score_ppl formula — shared by batch and streaming. The reference
+    * lookup is the native [[Exprs.pplRef]] (model state as codegen
+    * reference objects): the former map/global LITERALS inlined each
+    * loop round's recalibrated doubles into the generated code, forcing
+    * a fresh whole-stage compile of the scoring stage every round. Value
+    * parity is exact and spec-gated. */
   def pplScoreCol(pplRaw: Column, predLang: Column,
       pplRefByLang: Map[String, Double], pplRefGlobal: Double): Column =
     least(lit(1.0), greatest(lit(0.0),
-      (pplRaw / coalesce(element_at(pplRefMapCol(pplRefByLang), predLang),
-        lit(pplRefGlobal)) - lit(2.5)) / lit(2.0)))
+      (pplRaw / Exprs.pplRef(predLang, pplRefByLang, pplRefGlobal)
+        - lit(2.5)) / lit(2.0)))
 
   /** scrubbed_caption + derived score_pii, in application order (the
     * scrub chain evaluates exactly once per row; score_pii reads the

@@ -185,7 +185,19 @@ object PhashDup {
         .join(labels, edges("id2") === labels("image_id"), "inner")
         .select(edges("id1").as("image_id"), col("cluster_id").as("label"),
           lit(false).as("__own"))
+      // r6 pointer doubling: also propagate label-of-label (shortcut
+      // hops), the large-star/small-star idea — convergence needs
+      // O(log diameter) rounds instead of O(diameter) on chain-shaped
+      // components (the sf0.1 embedding graph needed 10+ plain rounds).
+      // Labels stay ids of component members and only ever decrease, so
+      // the CONVERGED state is unchanged: stable under neighbor-min ⇒
+      // per-component constant = component min, with or without hops.
+      val hops = labels.alias("a")
+        .join(labels.alias("b"), col("a.cluster_id") === col("b.image_id"))
+        .select(col("a.image_id").as("image_id"),
+          col("b.cluster_id").as("label"), lit(false).as("__own"))
       val stepped = msgs
+        .unionByName(hops)
         .unionByName(labels.select(col("image_id"),
           col("cluster_id").as("label"), lit(true).as("__own")))
         .groupBy(col("image_id"))

@@ -225,26 +225,43 @@ object ValidationRun {
       // consume — (is_susp, is_known, status_old, status_new) — so an
       // independent engine (the DuckDB oracle) can recompute every
       // TPR/FNR/PD/ND/UD/TPGR value from it.
-      TableIO.createOrReplace(Seq(m).toDF(), metricsPath(cfg, r))
-      // threshold checkpoint (own tiny file, NOT a new metrics column —
-      // the qf_metrics_loop oracle fixture's schema stays frozen); read
-      // back on resume so thresholds align with metrics
-      TableIO.createOrReplace(Seq((r, t)).toDF("run", "threshold"),
-        thresholdPath(cfg, r))
-      TableIO.createOrReplace(
-        flagged.select(col("image_id"), col("is_susp"), col("is_known"),
-          col("status").as("status_old"), col("status_new"),
-          lit(r).as("run")),
-        auditPath(cfg, r))
-      val lineage = flagged
-        .withColumn("pid", spark_partition_id())
-        .groupBy(col("pid").as("partition_id"))
-        .agg(count(lit(1)).as("rows_in"),
-          sum(when(col("is_susp"), 1L).otherwise(0L)).as("rows_dropped"))
-        .withColumn("rows_kept", col("rows_in") - col("rows_dropped"))
-        .withColumn("run_id", lit(r))
-        .withColumn("completed_at", current_timestamp())
-      TableIO.createOrReplace(lineage, lineagePath(cfg, r))
+      //
+      // r6: the four writes are mutually independent reads of the same
+      // materialized cache, so they run as CONCURRENT Spark actions
+      // (guide §2.6 — actions are only sequential because driver code
+      // calls them sequentially); a round's wall cost is one write
+      // latency, not four. Outputs and resume semantics are unchanged —
+      // roundComplete still requires all of them to exist.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          Future(TableIO.createOrReplace(Seq(m).toDF(), metricsPath(cfg, r))),
+          // threshold checkpoint (own tiny file, NOT a new metrics
+          // column — the qf_metrics_loop oracle fixture's schema stays
+          // frozen); read back on resume so thresholds align with
+          // metrics
+          Future(TableIO.createOrReplace(
+            Seq((r, t)).toDF("run", "threshold"), thresholdPath(cfg, r))),
+          Future(TableIO.createOrReplace(
+            flagged.select(col("image_id"), col("is_susp"), col("is_known"),
+              col("status").as("status_old"), col("status_new"),
+              lit(r).as("run")),
+            auditPath(cfg, r))),
+          Future {
+            val lineage = flagged
+              .withColumn("pid", spark_partition_id())
+              .groupBy(col("pid").as("partition_id"))
+              .agg(count(lit(1)).as("rows_in"),
+                sum(when(col("is_susp"), 1L).otherwise(0L)).as("rows_dropped"))
+              .withColumn("rows_kept", col("rows_in") - col("rows_dropped"))
+              .withColumn("run_id", lit(r))
+              .withColumn("completed_at", current_timestamp())
+            TableIO.createOrReplace(lineage, lineagePath(cfg, r))
+          })
+        Await.result(Future.sequence(writes),
+          scala.concurrent.duration.Duration(600, "s")): Unit
+      }
 
       // Next round reads the statuses straight off the cached frame (its
       // content is byte-identical to the checkpoint just written) — no

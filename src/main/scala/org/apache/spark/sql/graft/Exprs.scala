@@ -332,6 +332,52 @@ object Exprs {
     }
   }
 
+  /** Per-predicted-language perplexity reference with global fallback —
+    * the r6 replacement for
+    * `coalesce(element_at(<map literal>, pred_lang), lit(global))` in
+    * Scorer.pplScoreCol. The map/global literals inlined the per-round
+    * RECALIBRATED doubles into the generated code, so every loop round's
+    * scoring stage was a fresh janino compile; as reference objects the
+    * generated source is identical across rounds and the whole-stage
+    * codegen cache hits. Value parity is exact: lookup hit returns the
+    * stored double, miss or NULL language returns `global` (exactly the
+    * element_at-null → coalesce path). Never null. */
+  case class PplRef(child: Expression, byLang: Map[String, Double], global: Double)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) global
+      else Exprs.pplRefLookup(v.asInstanceOf[UTF8String], byLang, global)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val mapRef = ctx.addReferenceObj("pplByLang", byLang,
+        "scala.collection.immutable.Map")
+      val globalRef = ctx.addReferenceObj("pplGlobal", Double.box(global),
+        "java.lang.Double")
+      val childGen = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${childGen.code}
+        double ${ev.value} = ${childGen.isNull}
+          ? $globalRef.doubleValue()
+          : org.apache.spark.sql.graft.Exprs.pplRefLookup(
+              ${childGen.value}, $mapRef, $globalRef.doubleValue());
+        """,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "graft_ppl_ref"
+  }
+
+  /** Scalar body of [[PplRef]] (public static for codegen). */
+  def pplRefLookup(lang: UTF8String, byLang: Map[String, Double],
+      global: Double): Double =
+    byLang.getOrElse(lang.toString, global)
+
   /** Whole PII/toxicity scrub chain in ONE pass (see
     * graft.scrub.Scrub.scrubString): one UTF8String↔String round-trip
     * per row instead of one per chained regexp_replace rule, precompiled
@@ -380,6 +426,9 @@ object Exprs {
 
   def somBmu(c: Column, weights: Array[Array[Double]]): Column =
     Bridge.column(SomBmu(Bridge.expression(c), weights))
+
+  def pplRef(predLang: Column, byLang: Map[String, Double], global: Double): Column =
+    Bridge.column(PplRef(Bridge.expression(predLang), byLang, global))
 
   def hyperplaneSig(c: Column, planes: Array[Array[Double]]): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(c), planes))

@@ -122,6 +122,38 @@ class ExprsSpec extends AnyFunSuite {
       l.contains("*(") && l.contains("graft_hyperplane_sig")), plan)
   }
 
+  test("pplRef expression: exact parity with the map-literal coalesce chain") {
+    // r6 gate: Scorer.pplScoreCol's reference lookup moved from
+    // coalesce(element_at(<map literal>, lang), lit(global)) to the
+    // native Exprs.PplRef — identical doubles on hits, misses, NULL
+    // language, and the empty-map fallback.
+    import spark.implicits._
+    val byLang = Map("en" -> 4.25, "fr" -> 7.5, "zh" -> 11.125)
+    val langs = Seq("en", "fr", "zh", "de", "und", null, "")
+      .map(Tuple1(_)).toDF("lang")
+    val cmp = langs.select(
+      Exprs.pplRef(col("lang"), byLang, 5.75).as("nat"),
+      graft.detect.Scorer.pplRefColCatalyst(col("lang"), byLang, 5.75).as("cat"))
+    assert(cmp.filter(not(col("nat") <=> col("cat"))).count() == 0L)
+    val cmpEmpty = langs.select(
+      Exprs.pplRef(col("lang"), Map.empty[String, Double], 2.5).as("nat"),
+      graft.detect.Scorer.pplRefColCatalyst(
+        col("lang"), Map.empty[String, Double], 2.5).as("cat"))
+    assert(cmpEmpty.filter(not(col("nat") <=> col("cat"))).count() == 0L)
+    // and inside whole-stage codegen (no fallback to interpreted mode);
+    // a range-based source so ConvertToLocalRelation can't pre-evaluate
+    val ranged = spark.range(10).select(
+      when(col("id") % 2 === 0, lit("en")).otherwise(lit("xx")).as("lang"))
+    val plan = ranged.select(Exprs.pplRef(col("lang"), byLang, 5.75).as("r"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside WholeStageCodegen stage n
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_ppl_ref")), plan)
+    val vals = ranged.select(Exprs.pplRef(col("lang"), byLang, 5.75).as("r"))
+      .collect().map(_.getDouble(0)).toSet
+    assert(vals == Set(4.25, 5.75))
+  }
+
   test("graft_scrub: exact parity with the regexp_replace chain") {
     val texts = Seq(
       "contact me at user9@example.com or 555-123-4567 now",
