@@ -181,6 +181,58 @@ object BenchExtra {
         .foreach(d => PipelineLoop.deleteRecursively(new java.io.File(d)))
     }
 
+    run("wav2") {
+      val n = 20000
+      val payloads = (0 until n).map(i =>
+        graft.synth.MediaGen.audioRowFor(42L, i.toLong).bytes).toArray
+      def decodeAll(threads: Int): Double = {
+        val t0 = System.nanoTime()
+        val per = n / threads
+        val ts = (0 until threads).map { t =>
+          val th = new Thread(() => {
+            var i = t * per
+            val end = math.min(n, (t + 1) * per)
+            var acc = 0L
+            while (i < end) {
+              acc += graft.ops.Multimodal.decodeWav(payloads(i)).samples.length
+              i += 1
+            }
+            if (acc == -1) println("")
+          })
+          th.setName(s"wav2-$t")
+          th
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      decodeAll(1) // warmup
+      val t1 = decodeAll(1)
+      // sample stacks of the decode threads while the 32-way run is live
+      val hist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      val sampler = new Thread(() => {
+        while (!Thread.interrupted()) {
+          try {
+            Thread.getAllStackTraces.forEach { (t, st) =>
+              if (t.getName.startsWith("wav2-") && st.nonEmpty) {
+                val frame = st.take(6).mkString(" <- ")
+                hist.merge(s"[${t.getState}] $frame", 1, (a, b) => a + b)
+              }
+            }
+            Thread.sleep(20)
+          } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+        }
+      })
+      sampler.start()
+      val t32 = decodeAll(32)
+      sampler.interrupt(); sampler.join(1000)
+      println(f"[extra] decodeWav 20k: 1 thread ${t1}%.2f s (${n / t1}%.0f/s), " +
+        f"32 threads ${t32}%.2f s (${n / t32}%.0f/s, scaling ${t1 / t32}%.1fx)")
+      import scala.jdk.CollectionConverters._
+      hist.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (k, c) =>
+        println(s"[extra]   $c  ${k.take(400)}")
+      }
+    }
+
     run("rules2") {
       timed("images(2000) gen+cache") {
         PipelineCache.images(spark, 2000L).count(): Unit

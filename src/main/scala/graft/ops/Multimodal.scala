@@ -436,9 +436,46 @@ object Multimodal {
     * would otherwise decode "ok" with channel-INTERLEAVED samples, so a
     * downstream windowed RMS would silently mix channels and report an
     * inflated n_samples with no field to detect it by. */
+  /** JDK audio parsers, resolved ONCE per JVM (r6): every
+    * `AudioSystem.getAudioInputStream` call goes through the JDK's
+    * SYNCHRONIZED provider registry, which measured NEGATIVE thread
+    * scaling on the decode path (20k WAVs: 15.0k docs/s on 1 thread,
+    * 7.4k docs/s on 32 — the whole executor pool serialized on one
+    * lock). The readers themselves (WaveFileReader et al.) are
+    * stateless JDK parsers; probing the cached list per row is exactly
+    * AudioSystem's own loop (first reader that does not throw
+    * UnsupportedAudioFileException wins — the SPI contract makes
+    * failed probes reset the stream) without the registry lock.
+    *
+    * MIDI-backed readers probe LAST: the JDK registers
+    * SoftMidiAudioFileReader as an AudioFileReader, and merely PROBING
+    * it calls MidiSystem.getSequence → the synchronized
+    * JDK13Services.getProviders registry + classpath jar scans — the
+    * stack sampler showed 32 decode threads BLOCKED there for the
+    * majority of samples. No payload is ambiguous between a sampled
+    * container (RIFF/AIFF/AU magic) and a Standard MIDI File, so the
+    * reorder cannot change which reader accepts a stream; it only
+    * keeps the expensive MIDI probe off the hot path (it still runs,
+    * last, for genuinely unrecognized bytes). */
+  private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toArray
+      .sortBy(r => if (r.getClass.getName.toLowerCase.contains("midi")) 1 else 0)
+  }
+
   def decodeWav(bytes: Array[Byte]): WavPcm = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val in = new java.io.ByteArrayInputStream(bytes)
+    var ais: javax.sound.sampled.AudioInputStream = null
+    var i = 0
+    while (ais == null && i < audioReaders.length) {
+      try ais = audioReaders(i).getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      i += 1
+    }
+    if (ais == null)
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "Stream of unsupported format")
     try {
       val f = ais.getFormat
       require(
