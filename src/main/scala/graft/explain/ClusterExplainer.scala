@@ -46,11 +46,12 @@ object ClusterExplainer {
       maxFit: Int = 10000): DataFrame = {
     val spark = faulty.sparkSession
     import spark.implicits._
+    // r6: vector assembly via the codegen'd array_to_vector instead of
+    // a typed Dataset map (object serde per row on the corpus-sized
+    // ASSIGNMENT pass; identical DenseVector values, spec/oracle-gated)
     val assembled = faulty.select(col("image_id"),
-      array(scoreCols.map(col): _*).as("arr"))
-      .map { r =>
-        (r.getString(0), Vectors.dense(r.getSeq[Double](1).toArray))
-      }.toDF("image_id", "features")
+      org.apache.spark.ml.functions.array_to_vector(
+        array(scoreCols.map(c => col(c).cast("double")): _*)).as("features"))
       .cache()
     val sample = fitSample(assembled, Seq("image_id"), maxFit).cache()
     val n = sample.count()
@@ -96,8 +97,6 @@ object ClusterExplainer {
       labeled: DataFrame,
       featureCols: Seq[String],
       maxFit: Int): DataFrame = {
-    val spark = labeled.sparkSession
-    import spark.implicits._
     labeled
       .select((featureCols.map(c => col(c).cast("double")) :+
         col("label").cast("double").as("label")): _*)
@@ -109,9 +108,10 @@ object ClusterExplainer {
       .orderBy((xxhash64((featureCols :+ "label").map(col): _*) +:
         (featureCols :+ "label").map(col)): _*)
       .limit(maxFit)
-      .select(array(featureCols.map(col): _*).as("arr"), col("label"))
-      .map { r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)) }
-      .toDF("features", "label")
+      // r6: codegen'd array_to_vector instead of a typed map (identical
+      // DenseVector values, no object serde; row order preserved)
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        array(featureCols.map(col): _*)).as("features"), col("label"))
       .coalesce(1)
   }
 
@@ -198,9 +198,10 @@ object ClusterExplainer {
       // value tiebreak after the hash: see assembleBounded
       .orderBy((xxhash64(scoreCols.map(col): _*) +: scoreCols.map(col)): _*)
       .limit(maxFit)
-      .select(array(scoreCols.map(col): _*).as("arr"))
-      .map(r => Tuple1(Vectors.dense(r.getSeq[Double](0).toArray)))
-      .toDF("features")
+      // r6: codegen'd array_to_vector instead of a typed map (see
+      // assembleBounded)
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        array(scoreCols.map(col): _*)).as("features"))
       .coalesce(1).cache()
     val n = assembled.count()
     val candidates = ks.filter(k => k >= 2 && k <= n).sorted

@@ -203,10 +203,11 @@ object Similarity {
     val sample = embeddings
       .filter(col("embedding").isNotNull)
       .orderBy(xxhash64(col("vec_id"))).limit(maxFit)
-      .select(col("embedding")).as[Array[Float]]
-      .map(a => Tuple1(org.apache.spark.ml.linalg.Vectors.dense(
-        a.map(_.toDouble))))
-      .toDF("features").coalesce(1).cache()
+      // r6: codegen'd array_to_vector (float→double widening, identical
+      // values to the former typed map, no object serde)
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        col("embedding")).as("features"))
+      .coalesce(1).cache()
     val n = sample.count()
     require(n > 0, "ivfTopK: no non-null embeddings to fit the coarse quantizer on")
     // clamp by the SAMPLE size too: k above the point count makes MLlib
