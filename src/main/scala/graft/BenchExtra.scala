@@ -181,6 +181,98 @@ object BenchExtra {
         .foreach(d => PipelineLoop.deleteRecursively(new java.io.File(d)))
     }
 
+    run("embdriver") {
+      val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      val pairs = graft.ops.Similarity.cosineNearDupPairs(
+          emb, dim = 64, threshold = 0.3995, nPlanes = 3, tables = 4)
+        .filter(round(col("cos"), 4) >= 0.40)
+        .select(col("id1"), col("id2")).cache()
+      val np = pairs.count()
+      println(s"[extra] driver pairs = $np")
+      timed("pairs compute (already cached)") { pairs.count(): Unit }
+      // r5-style clusters (localCheckpoint + change probe, no doubling)
+      def clustersR5(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val edges = p.select(col("id1"), col("id2"))
+          .union(p.select(col("id2").as("id1"), col("id1").as("id2")))
+          .cache()
+        var labels = edges.groupBy(col("id1").as("image_id"))
+          .agg(least(min(col("id2")), first(col("id1"))).as("cluster_id"))
+          .localCheckpoint()
+        var i = 1
+        var converged = false
+        while (i < 20 && !converged) {
+          val next = edges
+            .join(labels, edges("id2") === labels("image_id"), "inner")
+            .groupBy(edges("id1").as("image_id"))
+            .agg(min(col("cluster_id")).as("cluster_id"))
+            .join(labels.select(col("image_id"), col("cluster_id").as("own")),
+              Seq("image_id"))
+            .select(col("image_id"),
+              least(col("cluster_id"), col("own")).as("cluster_id"))
+            .localCheckpoint()
+          converged = next
+            .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("image_id"))
+            .filter(col("cluster_id") =!= col("__old"))
+            .limit(1).count() == 0L
+          labels = next
+          i += 1
+        }
+        println(s"[extra] r5-style iterations: $i converged=$converged")
+        edges.unpersist()
+        labels
+      }
+      timed("clusters r5-style (1)") { clustersR5(pairs).count(): Unit }
+      timed("clusters r5-style (2)") { clustersR5(pairs).count(): Unit }
+      timed("clusters r6 (1)") { graft.discovery.PhashDup.clusters(pairs).count(): Unit }
+      timed("clusters r6 (2)") { graft.discovery.PhashDup.clusters(pairs).count(): Unit }
+      // r6 variant WITHOUT the pointer-doubling hops (A/B)
+      def clustersNoHops(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val edges = p.select(col("id1"), col("id2"))
+          .union(p.select(col("id2").as("id1"), col("id1").as("id2")))
+          .cache()
+        var labelsCache = edges.groupBy(col("id1").as("image_id"))
+          .agg(least(min(col("id2")), first(col("id1"))).as("cluster_id"))
+          .cache()
+        var labels: org.apache.spark.sql.DataFrame = labelsCache
+        var i = 1
+        var converged = false
+        while (i < 20 && !converged) {
+          val msgs = edges
+            .join(labels, edges("id2") === labels("image_id"), "inner")
+            .select(edges("id1").as("image_id"), col("cluster_id").as("label"),
+              lit(false).as("__own"))
+          val stepped = msgs
+            .unionByName(labels.select(col("image_id"),
+              col("cluster_id").as("label"), lit(true).as("__own")))
+            .groupBy(col("image_id"))
+            .agg(min(col("label")).as("cluster_id"),
+              min(when(col("__own"), col("label"))).as("__prev"))
+            .select(col("image_id"), col("cluster_id"),
+              (col("cluster_id") < col("__prev")).as("__changed"))
+          val obs = org.apache.spark.sql.Observation()
+          val cachedNext = stepped
+            .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("changed"))
+            .select(col("image_id"), col("cluster_id"))
+            .cache()
+          cachedNext.count(): Unit
+          converged = Option(obs.get("changed")).forall {
+            case n: Long => n == 0L
+            case _ => true
+          }
+          labelsCache.unpersist()
+          labelsCache = cachedNext
+          labels = org.apache.spark.sql.graft.Bridge.flattenLineage(cachedNext)
+          i += 1
+        }
+        println(s"[extra] no-hops iterations: $i converged=$converged")
+        edges.unpersist()
+        labels
+      }
+      timed("clusters r6-nohops (1)") { clustersNoHops(pairs).count(): Unit }
+      timed("clusters r6-nohops (2)") { clustersNoHops(pairs).count(): Unit }
+      pairs.unpersist()
+    }
+
     run("wav2") {
       val n = 20000
       val payloads = (0 until n).map(i =>
@@ -252,6 +344,35 @@ object BenchExtra {
           scored, PipelineCache.scoreNames, t, med)
       }
       l2.unpersist()
+      // decompose the warm call
+      val faulty = scored.filter(col("invalidity_score") >= t).cache()
+      timed("  faulty count") { faulty.count(): Unit }
+      val clusters = timed("  clusterFaulty (KMeans)") {
+        val c = graft.explain.ClusterExplainer.clusterFaulty(
+          faulty, PipelineCache.scoreNames, 4).cache()
+        c.count(); c
+      }
+      val normal = scored.filter(col("invalidity_score") <= med)
+        .orderBy(xxhash64(col("image_id"))).limit(2000).cache()
+      timed("  normal sample count") { normal.count(): Unit }
+      import spark.implicits._
+      val cids = clusters.select("cluster_id").distinct().as[Int].collect().sorted
+      val colsX = col("image_id") +: PipelineCache.scoreNames.map(col)
+      timed("  4 tree fits (concurrent)") {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fs = cids.toSeq.map { cid => Future {
+          val clusterRows = faulty.join(
+            clusters.filter(col("cluster_id") === cid), Seq("image_id"), "left_semi")
+          val labeled = normal.select((colsX :+ lit(0.0).as("label")): _*)
+            .unionByName(clusterRows.select((colsX :+ lit(1.0).as("label")): _*))
+          graft.explain.ClusterExplainer.treeStructuredRules(
+            labeled, PipelineCache.scoreNames)
+        } }
+        Await.result(Future.sequence(fs),
+          scala.concurrent.duration.Duration(600, "s")): Unit
+      }
+      faulty.unpersist(); normal.unpersist(); clusters.unpersist()
       println(s"[extra] rules n=${rules.size} / ${r2.size}")
       timed("full qf_cluster_rule_support") {
         PipelineQueries.queries("qf_cluster_rule_support")(spark, sfDir).count(): Unit

@@ -156,7 +156,8 @@ object PhashDup {
     * appearing in a pair. Exact-equivalent to transitive-closure min
     * reachability once converged (the DuckDB oracle computes it that
     * way). */
-  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIterations: Int = 20,
+      hopsAfter: Int = 12): DataFrame = {
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .cache()
@@ -185,19 +186,26 @@ object PhashDup {
         .join(labels, edges("id2") === labels("image_id"), "inner")
         .select(edges("id1").as("image_id"), col("cluster_id").as("label"),
           lit(false).as("__own"))
-      // r6 pointer doubling: also propagate label-of-label (shortcut
-      // hops), the large-star/small-star idea — convergence needs
-      // O(log diameter) rounds instead of O(diameter) on chain-shaped
-      // components (the sf0.1 embedding graph needed 10+ plain rounds).
+      // r6 ADAPTIVE pointer doubling: after `hopsAfter` plain rounds an
+      // unconverged graph additionally propagates label-of-label
+      // (shortcut hops, the large-star/small-star idea) — remaining
+      // convergence then needs O(log d) rounds instead of O(d), so the
+      // 20-round cap is effectively unreachable (12 + 8 hop rounds
+      // covers diameters past 2^8). Hops are NOT free (one extra
+      // labels⋈labels join per round: measured 0.75 s/round vs 0.33
+      // plain on the sf0.1 graph), and real dup-chain graphs converge
+      // in ≤10 plain rounds — so the common case never pays for them.
       // Labels stay ids of component members and only ever decrease, so
-      // the CONVERGED state is unchanged: stable under neighbor-min ⇒
-      // per-component constant = component min, with or without hops.
-      val hops = labels.alias("a")
-        .join(labels.alias("b"), col("a.cluster_id") === col("b.image_id"))
-        .select(col("a.image_id").as("image_id"),
-          col("b.cluster_id").as("label"), lit(false).as("__own"))
-      val stepped = msgs
-        .unionByName(hops)
+      // the CONVERGED state is unchanged with or without hops: stable
+      // under neighbor-min ⇒ per-component constant = component min.
+      val withHops = i > hopsAfter
+      val maybeHops =
+        if (!withHops) Nil
+        else Seq(labels.alias("a")
+          .join(labels.alias("b"), col("a.cluster_id") === col("b.image_id"))
+          .select(col("a.image_id").as("image_id"),
+            col("b.cluster_id").as("label"), lit(false).as("__own")))
+      val stepped = maybeHops.foldLeft(msgs)(_ unionByName _)
         .unionByName(labels.select(col("image_id"),
           col("cluster_id").as("label"), lit(true).as("__own")))
         .groupBy(col("image_id"))

@@ -74,4 +74,17 @@ class PhashDupSpec extends AnyFunSuite {
     assert(labels.keySet == ids.toSet)
     assert(labels.values.toSet == Set("a"), labels.toString)
   }
+
+  test("adaptive pointer doubling converges past the plain-round budget") {
+    // r6: a 30-node chain (diameter 29) cannot converge in 19 plain
+    // min-propagation rounds — the shortcut hops that kick in after
+    // `hopsAfter` rounds must finish it within the 20-round cap with
+    // every node labeled by the component minimum
+    val ids = (0 until 30).map(i => f"n$i%03d")
+    val pairs = ids.zip(ids.tail).toSeq.toDF("id1", "id2")
+    val labels = PhashDup.clusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels.keySet == ids.toSet)
+    assert(labels.values.toSet == Set("n000"), labels.toString)
+  }
 }
